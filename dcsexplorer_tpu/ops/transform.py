@@ -1,0 +1,241 @@
+"""Batched inverse frequency transform (device path).
+
+Vectorized, bit-exact JAX implementation of the two DCS inverse-RDFT
+algorithms over a batch of frames: input frame buffers [B, 512] (u16-in-int32
+storage), per-frame volume shifts [B], carried overlap buffers [B, 16];
+outputs 240 PCM words per frame plus the next overlap buffer.
+
+The scalar semantics being vectorized are in ``refdec/transform.py``
+(reference anchors: DCSDecoderNative.cpp:397-576 and :614-813).  All loops are
+static; every iteration's read/write sets are disjoint (or provably
+consistent), so each pass vectorizes into pure gather/compute/scatter over the
+batch — XLA fuses the elementwise chains, and the batch dimension rides the
+VPU lanes.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..format import tables as T
+from .fixmath import M16, mulss, overlap_mix, rotate_round, s16, sat16
+
+_BR = np.asarray(T.BITREV9, dtype=np.int32)
+_IFFT = np.asarray(T.IFFT_COEFF, dtype=np.int32)
+_SIN = _IFFT[:128]
+_COS = _IFFT[128:]
+_OVL = np.asarray(T.OVERLAP_COEFF, dtype=np.int32)
+
+# pre-pass pair index maps (see refdec/transform.py for the walk structure)
+_P1_X = np.arange(0, 128, dtype=np.int32)                       # p0 side, pairs (2i,2i+1)
+_P1_Y = np.empty(128, dtype=np.int32)                           # p1 side, descending pairs
+for _i in range(64):
+    _P1_Y[2 * _i] = 0x100 - 2 * _i
+    _P1_Y[2 * _i + 1] = 0x101 - 2 * _i
+
+# pre-pass 2 coefficient banks: c0 = IFFT[br[2+4i]], c1 = IFFT[br[4i]]
+_P2_C0 = _IFFT[_BR[2 + 4 * np.arange(64)]]
+_P2_C1 = _IFFT[_BR[4 * np.arange(64)]]
+
+# overlap-add positions: outputs 0..15 live at br[0],br[0]+1,br[2],br[2]+1,...
+_OVL_POS = np.empty(16, dtype=np.int32)
+for _k in range(16):
+    _OVL_POS[_k] = _BR[2 * (_k // 2)] + (_k % 2)
+_OVL_NEW = _OVL.copy()            # coefficient applied to the new frame value
+_OVL_OLD = _OVL[::-1].copy()      # coefficient applied to the carried value
+
+# output extraction and overlap-save index maps
+_EXTRACT = np.empty(240, dtype=np.int32)
+for _i in range(0, 240, 2):
+    _EXTRACT[_i] = _BR[_i]
+    _EXTRACT[_i + 1] = _BR[_i] + 1
+_SAVE = np.empty(16, dtype=np.int32)
+for _j, _i in enumerate(range(240, 256, 2)):
+    _SAVE[2 * _j] = _BR[_i]
+    _SAVE[2 * _j + 1] = _BR[_i] + 1
+
+# 1993 algorithm: bit-reversed sources for the volume/extraction pass
+_BR93_SRC = _BR[:256].copy()      # all even values (bit 8 of i is 0)
+
+
+def _round_sub(p_a, p_b):
+    """round(p_a_chain - p_b_chain) per MulSS+MultiplyRoundSub; products are
+    pre-shift (a*b) int32 values; quirk keyed on (p_b<<1) low word."""
+    mr = ((p_a - p_b) << 1) + 0x8000
+    mr = jnp.where(((p_b << 1) & M16) == 0x8000, mr & ~0x10000, mr)
+    return s16(mr >> 16)
+
+
+def _round_add(p_a, p_b):
+    mr = ((p_a + p_b) << 1) + 0x8000
+    mr = jnp.where(((p_b << 1) & M16) == 0x8000, mr & ~0x10000, mr)
+    return s16(mr >> 16)
+
+
+def transform94(fb, overlap, vol_shift):
+    """1994+ inverse transform, batched.
+
+    fb: [B, 512] u16 storage; overlap: [B, 16]; vol_shift: [B] int32.
+    Returns (pcm [B, 240] u16 storage, new_overlap [B, 16]).
+    """
+    B = fb.shape[0]
+    vs = vol_shift.reshape(B, 1)
+
+    # center-element fixups
+    fb = fb.at[:, 0x80].set(mulss(fb[:, 0x80], 0x8000))
+    fb = fb.at[:, 0x81].set(mulss((-s16(fb[:, 0x81])) & M16, 0x8000))
+
+    # pre-pass 1: fold ends through ±sums, then negate via ×$8000
+    x = fb[:, _P1_X]
+    y = fb[:, _P1_Y]
+    x0, x1 = s16(x[:, 0::2]), s16(x[:, 1::2])
+    y0, y1 = s16(y[:, 0::2]), s16(y[:, 1::2])
+    n_x0 = mulss(sat16(x0 + y0), 0x8000)
+    n_y0 = mulss(sat16(x0 - y0), 0x8000)
+    n_x1 = mulss(sat16(x1 - y1), 0x8000)
+    n_y1 = mulss(sat16(x1 + y1), 0x8000)
+    xi = jnp.stack([n_x0, n_x1], axis=-1).reshape(B, 128)
+    yi = jnp.stack([n_y0, n_y1], axis=-1).reshape(B, 128)
+    fb = fb.at[:, _P1_X].set(xi).at[:, _P1_Y].set(yi)
+
+    # pre-pass 2: complex twiddle fold with rounding
+    x = fb[:, _P1_X]
+    y = fb[:, _P1_Y]
+    x0, x1 = s16(x[:, 0::2]), s16(x[:, 1::2])
+    yn0, yn1 = s16(y[:, 0::2]), s16(y[:, 1::2])
+    c0 = jnp.asarray(_P2_C0)[None, :]
+    c1 = jnp.asarray(_P2_C1)[None, :]
+    prod0 = _round_sub(yn1 * s16(c1), yn0 * s16(c0))
+    prod1 = _round_add(yn1 * s16(c0), yn0 * s16(c1))
+    n_x0 = sat16(prod1 + x0)
+    n_x1 = sat16(prod0 + x1)
+    n_y0 = sat16(x0 - prod1)
+    n_y1 = sat16(prod0 - x1)
+    xi = jnp.stack([n_x0, n_x1], axis=-1).reshape(B, 128)
+    yi = jnp.stack([n_y0, n_y1], axis=-1).reshape(B, 128)
+    fb = fb.at[:, _P1_X].set(xi).at[:, _P1_Y].set(yi)
+
+    # pre-pass 3: butterfly halves
+    x = s16(fb[:, 0:128])
+    y = s16(fb[:, 128:256])
+    fb = fb.at[:, 0:128].set(sat16(x + y)).at[:, 128:256].set(sat16(x - y))
+
+    # 6-iteration in-place IFFT over the first 256 entries
+    core = fb[:, :256]
+    n_part, part_size = 2, 0x40
+    for _ in range(6):
+        v = core.reshape(B, n_part, 2, part_size)
+        u, a = v[:, :, 0, :], v[:, :, 1, :]
+        ap = a.reshape(B, n_part, part_size // 2, 2)
+        a_re, a_im = ap[..., 0], ap[..., 1]
+        c_cos = jnp.asarray(_COS[:n_part]).reshape(1, n_part, 1)
+        c_sin = jnp.asarray(_SIN[:n_part]).reshape(1, n_part, 1)
+        t_re, t_im = rotate_round(a_re, a_im, c_cos, c_sin)
+        up = u.reshape(B, n_part, part_size // 2, 2)
+        u_re, u_im = s16(up[..., 0]), s16(up[..., 1])
+        nu = jnp.stack([sat16(u_re - t_re), sat16(u_im - t_im)], axis=-1)
+        na = jnp.stack([sat16(u_re + t_re), sat16(u_im + t_im)], axis=-1)
+        core = jnp.stack([nu.reshape(B, n_part, part_size),
+                          na.reshape(B, n_part, part_size)], axis=2
+                         ).reshape(B, 256)
+        n_part *= 2
+        part_size //= 2
+
+    # volume normalization
+    core = (s16(core) >> vs) & M16
+    fb = fb.at[:, :256].set(core)
+
+    # overlap-add into the first 16 outputs
+    cur = fb[:, _OVL_POS]
+    blended = overlap_mix(cur, overlap,
+                          jnp.asarray(_OVL_NEW)[None, :],
+                          jnp.asarray(_OVL_OLD)[None, :])
+    fb = fb.at[:, _OVL_POS].set(blended)
+
+    # bit-reversed extraction + overlap save
+    pcm = fb[:, _EXTRACT]
+    new_overlap = fb[:, _SAVE]
+    return pcm, new_overlap
+
+
+def transform94_raw(fb, vol_shift):
+    """The overlap-free part of transform94: everything up to and including
+    volume normalization, returning the 256 time-domain words per frame in
+    bit-reversed storage order [B, 512-view trimmed to 256].
+
+    Used by the batched pipeline, which resolves overlap-add across the frame
+    axis as a pure shift (frame f's carried buffer = frame f-1's last 16
+    outputs), avoiding any scan.
+    """
+    B = fb.shape[0]
+    vs = vol_shift.reshape(B, 1)
+
+    fb = fb.at[:, 0x80].set(mulss(fb[:, 0x80], 0x8000))
+    fb = fb.at[:, 0x81].set(mulss((-s16(fb[:, 0x81])) & M16, 0x8000))
+
+    x = fb[:, _P1_X]
+    y = fb[:, _P1_Y]
+    x0, x1 = s16(x[:, 0::2]), s16(x[:, 1::2])
+    y0, y1 = s16(y[:, 0::2]), s16(y[:, 1::2])
+    n_x0 = mulss(sat16(x0 + y0), 0x8000)
+    n_y0 = mulss(sat16(x0 - y0), 0x8000)
+    n_x1 = mulss(sat16(x1 - y1), 0x8000)
+    n_y1 = mulss(sat16(x1 + y1), 0x8000)
+    xi = jnp.stack([n_x0, n_x1], axis=-1).reshape(B, 128)
+    yi = jnp.stack([n_y0, n_y1], axis=-1).reshape(B, 128)
+    fb = fb.at[:, _P1_X].set(xi).at[:, _P1_Y].set(yi)
+
+    x = fb[:, _P1_X]
+    y = fb[:, _P1_Y]
+    x0, x1 = s16(x[:, 0::2]), s16(x[:, 1::2])
+    yn0, yn1 = s16(y[:, 0::2]), s16(y[:, 1::2])
+    c0 = jnp.asarray(_P2_C0)[None, :]
+    c1 = jnp.asarray(_P2_C1)[None, :]
+    prod0 = _round_sub(yn1 * s16(c1), yn0 * s16(c0))
+    prod1 = _round_add(yn1 * s16(c0), yn0 * s16(c1))
+    xi = jnp.stack([sat16(prod1 + x0), sat16(prod0 + x1)], axis=-1).reshape(B, 128)
+    yi = jnp.stack([sat16(x0 - prod1), sat16(prod0 - x1)], axis=-1).reshape(B, 128)
+    fb = fb.at[:, _P1_X].set(xi).at[:, _P1_Y].set(yi)
+
+    x = s16(fb[:, 0:128])
+    y = s16(fb[:, 128:256])
+    core = jnp.concatenate([sat16(x + y), sat16(x - y)], axis=1)
+
+    n_part, part_size = 2, 0x40
+    for _ in range(6):
+        v = core.reshape(B, n_part, 2, part_size)
+        u, a = v[:, :, 0, :], v[:, :, 1, :]
+        ap = a.reshape(B, n_part, part_size // 2, 2)
+        a_re, a_im = ap[..., 0], ap[..., 1]
+        c_cos = jnp.asarray(_COS[:n_part]).reshape(1, n_part, 1)
+        c_sin = jnp.asarray(_SIN[:n_part]).reshape(1, n_part, 1)
+        t_re, t_im = rotate_round(a_re, a_im, c_cos, c_sin)
+        up = u.reshape(B, n_part, part_size // 2, 2)
+        u_re, u_im = s16(up[..., 0]), s16(up[..., 1])
+        nu = jnp.stack([sat16(u_re - t_re), sat16(u_im - t_im)], axis=-1)
+        na = jnp.stack([sat16(u_re + t_re), sat16(u_im + t_im)], axis=-1)
+        core = jnp.stack([nu.reshape(B, n_part, part_size),
+                          na.reshape(B, n_part, part_size)], axis=2
+                         ).reshape(B, 256)
+        n_part *= 2
+        part_size //= 2
+
+    return (s16(core) >> vs) & M16
+
+
+def overlap_resolve(raw, overlap0):
+    """Resolve overlap-add across the frame axis without a scan.
+
+    raw: [F, 256] volume-normalized time-domain words in bit-reversed storage
+    (output of transform94_raw for F consecutive frames of ONE stream);
+    overlap0: [16] initial carried buffer.  Returns (pcm [F, 240], final
+    overlap [16]).
+    """
+    heads = raw[:, _OVL_POS]            # [F, 16] new-frame contributions
+    tails = raw[:, _SAVE]               # [F, 16] each frame's carry-out
+    carried = jnp.concatenate([overlap0[None, :], tails[:-1]], axis=0)
+    blended = overlap_mix(heads, carried,
+                          jnp.asarray(_OVL_NEW)[None, :],
+                          jnp.asarray(_OVL_OLD)[None, :])
+    fixed = raw.at[:, _OVL_POS].set(blended)
+    return fixed[:, _EXTRACT], tails[-1]
