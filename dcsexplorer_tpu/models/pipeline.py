@@ -1,0 +1,199 @@
+"""TPU decode pipeline: host VM control + device numerics.
+
+Architecture (SURVEY.md §7): the branchy, pointer-chasing runtime — track
+byte-code VM, command queue, mixer fades, volume — runs on host as a cheap
+*control tracer* (a stubbed ``ReferenceDecoder`` that skips all per-sample
+math), emitting per-frame control vectors: which stream frame plays on which
+channel at what mixing multiplier, plus the global volume shift.  The device
+then executes the entire numeric pipeline for ALL frames in parallel:
+
+  bitstream symbol decode (ops/band_decode.decode_frames94)
+  → dequant/scale/mix accumulate over channels (dequant_mix)
+  → inverse transform (ops/transform.transform94_raw)
+  → overlap-add resolve (pure shift, no scan)
+
+Every PCM word is bit-exact with the scalar reference decoder.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..format import tables as T
+from ..ops import band_decode as bd
+from ..ops import prescan
+from ..ops import transform as tf
+from ..refdec import decoder as rd
+
+
+class ControlTracer(rd.ReferenceDecoder):
+    """ReferenceDecoder with the numeric work stubbed out: runs the full VM
+    (commands, track programs, fades, volume, stream lifecycle) and records
+    per-frame control vectors for the device pipeline."""
+
+    def __init__(self, host=None):
+        super().__init__(host)
+        self.trace_vol_shift = []
+        self.trace_entries = []   # per frame: list of (ch, stream_key, frame_idx, mix)
+
+    def _stream_key(self, st):
+        mem = st.mem.mem if isinstance(st.mem, rd.PaddedView) else st.mem
+        return (id(mem), st.header_pos - 2)
+
+    def _decompress_frame(self, ch):
+        return True
+
+    def _decode_and_transform(self, vol_shift):
+        entries = []
+        for i in range(rd.MAX_CHANNELS):
+            ch = self.channels[i]
+            st = ch.stream
+            if st.playing and st.num_frames > 0:
+                frame_idx = (st.num_frames - st.frame_counter) % st.num_frames
+                entries.append((i, self._stream_key(st), frame_idx,
+                                ch.mixing_multiplier))
+            self._decode_stream(i)
+        self.trace_vol_shift.append(vol_shift)
+        self.trace_entries.append(entries)
+
+    def trace_frames(self, n, events=None):
+        """Run n frames of the VM.  ``events`` maps frame index -> callable
+        invoked before that frame (e.g. to write data-port bytes)."""
+        for f in range(n):
+            if events and f in events:
+                events[f](self)
+            while self.data_port_queue:
+                self.irq2_handler()
+            self.main_loop()
+
+
+class StreamBank:
+    """Prescanned + device-decoded streams (the HBM-resident bitstream pool).
+
+    Holds, for every registered stream, the dense per-frame sample values and
+    slot controls produced by the device symbol-decode kernel, concatenated
+    into global arrays indexed by (stream, frame).
+    """
+
+    def __init__(self, os_version):
+        self.os_version = os_version
+        self.keys = {}
+        self._streams = []
+
+    def add(self, mem, pos=0):
+        key = (id(mem), pos)
+        if key in self.keys:
+            return key
+        idx = prescan.prescan94(mem, pos)
+        if idx.error_frame >= 0:
+            raise ValueError(f"stream error at frame {idx.error_frame}")
+        data_end = int(idx.end_bit[-1] // 8 + 8) if idx.n_frames else pos + 18
+        raw = np.frombuffer(bytes(mem[pos:data_end + 4]) + b"\xff" * 8, dtype=np.uint8)
+        self.keys[key] = len(self._streams)
+        self._streams.append((idx, raw, pos))
+        return key
+
+    def decode_all(self):
+        """Run the device symbol-decode kernel for every stream; build the
+        global dense-value/slot-control arrays."""
+        vals, scales, fbidx, valids, offsets = [], [], [], [], {}
+        total = 1  # row 0 is the silent dummy row
+        for key, si in self.keys.items():
+            idx, raw, pos = self._streams[si]
+            sb = jnp.asarray(raw.astype(np.int32))
+            # prescan bit offsets are absolute in mem; raw starts at pos
+            rel_start = (idx.start_bit - pos * 8).astype(np.int32)
+            dense, (scale, fb_i, valid) = jax.jit(
+                bd.decode_frames94, static_argnums=(3, 4))(
+                sb, jnp.asarray(rel_start), jnp.asarray(idx.header, jnp.int32),
+                int(idx.fmt_type), int(idx.sub_type),
+                jnp.asarray(idx.band_type, jnp.int32),
+                jnp.asarray(idx.band_type_prev, jnp.int32))
+            vals.append(np.asarray(dense))
+            scales.append(np.asarray(scale))
+            fbidx.append(np.asarray(fb_i))
+            valids.append(np.asarray(valid))
+            offsets[key] = total
+            total += idx.n_frames
+        z = np.zeros((1, 256), dtype=np.int32)
+        self.dense = jnp.asarray(np.concatenate([z] + vals, axis=0))
+        self.scale = jnp.asarray(np.concatenate([z] + scales, axis=0))
+        self.fb_idx = jnp.asarray(np.concatenate([z] + fbidx, axis=0))
+        self.valid = jnp.asarray(np.concatenate(
+            [z.astype(bool)] + valids, axis=0))
+        self.offsets = offsets
+        return self
+
+
+def assemble_controls(tracer: ControlTracer, bank: StreamBank):
+    """Convert the VM trace into dense device control arrays.
+
+    Returns (rows [T, 8] global dense-row per channel (0 = silent),
+             mix [T, 8], vol_shift [T])."""
+    T_ = len(tracer.trace_vol_shift)
+    rows = np.zeros((T_, rd.MAX_CHANNELS), dtype=np.int32)
+    mix = np.zeros((T_, rd.MAX_CHANNELS), dtype=np.int32)
+    for t, entries in enumerate(tracer.trace_entries):
+        for (c, key, fidx, m) in entries:
+            rows[t, c] = bank.offsets[key] + fidx
+            mix[t, c] = m
+    vol = np.asarray(tracer.trace_vol_shift, dtype=np.int32)
+    return rows, mix, vol
+
+
+def device_decode(bank_arrays, rows, mix, vol_shift, overlap0=None):
+    """Decode T runtime frames on device; bit-exact with the scalar decoder.
+
+    bank_arrays: (dense, scale, fb_idx, valid) global stream-frame arrays;
+    rows/mix: [T, 8]; vol_shift: [T].  Returns pcm [T, 240] u16 storage.
+    """
+    dense_all, scale_all, fbidx_all, valid_all = bank_arrays
+    rows = jnp.asarray(rows, jnp.int32)
+    mix = jnp.asarray(mix, jnp.int32)
+    vol_shift = jnp.asarray(vol_shift, jnp.int32)
+    Tn = rows.shape[0]
+    if overlap0 is None:
+        overlap0 = jnp.zeros(16, jnp.int32)
+
+    fb = jnp.zeros((Tn, 512), jnp.int32)
+    for c in range(rd.MAX_CHANNELS):
+        r = rows[:, c]
+        active = r > 0
+        ctl = (scale_all[r], fbidx_all[r], valid_all[r])
+        fb = bd.dequant_mix(dense_all[r], ctl, mix[:, c], fb_prev=fb,
+                            active=active)
+
+    raw = tf.transform94_raw(fb, vol_shift)
+    pcm, last_ov = tf.overlap_resolve(raw, overlap0)
+    return pcm, last_ov
+
+
+def decode_standalone(streams, os_version=rd.OS94, default_volume=0x67,
+                      n_frames=None, events=None):
+    """End-to-end standalone decode on device.
+
+    streams: list of (mem, channel, mixing_level) loaded at frame 0.
+    Returns int16 PCM [n_frames * 240].
+    """
+    bank = StreamBank(os_version)
+    for (mem, _, _) in streams:
+        bank.add(mem, 0)
+    bank.decode_all()
+
+    tracer = ControlTracer()
+    tracer.default_volume = default_volume
+    tracer.init_standalone(os_version)
+    tracer.soft_boot()
+    for (mem, ch, lvl) in streams:
+        tracer.load_audio_stream(ch, mem, mixing_level=lvl)
+    if n_frames is None:
+        n_frames = 4 + max(prescan.prescan94(mem, 0).n_frames
+                           for (mem, _, _) in streams)
+    tracer.trace_frames(n_frames, events=events)
+
+    rows, mix, vol = assemble_controls(tracer, bank)
+    arrays = (bank.dense, bank.scale, bank.fb_idx, bank.valid)
+    pcm, _ = jax.jit(device_decode)(arrays, rows, mix, vol)
+    pcm = np.asarray(pcm).reshape(-1)
+    return ((pcm & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000

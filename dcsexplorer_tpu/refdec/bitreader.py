@@ -43,3 +43,22 @@ class BitReader:
         if v & (1 << (n - 1)):
             v -= 1 << n
         return v
+
+
+class PaddedView:
+    """Byte view returning $FF past the end — mirrors the hardware's behavior
+    of reading $FF from unpopulated ROM space (reference: DCSDecoder.cpp:267-283).
+    The bit reader's lookahead may prefetch a few bytes past a stream's final
+    bit; this keeps standalone (non-ROM) buffers safe to overread."""
+
+    __slots__ = ("mem", "n")
+
+    def __init__(self, mem):
+        self.mem = mem
+        self.n = len(mem)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.mem[i] if i < self.n else 0xFF

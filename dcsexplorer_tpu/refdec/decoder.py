@@ -10,7 +10,7 @@ TPU decode path in ``models/``.
 """
 
 from ..format import tables as T
-from .bitreader import BitReader
+from .bitreader import BitReader, PaddedView
 from .fixed import M16, M32, M64, calc_exp32, s16, u16
 from .frames import (StreamState, decompress_frame_93,
                      decompress_frame_93a_type1, decompress_frame_94x)
@@ -425,21 +425,27 @@ class ReferenceDecoder:
             m = (ch.mixing_multiplier * v) << 1
             ch.mixing_multiplier = ((m << vol_shift) >> 16) & M16
 
-        # decode one frame from every active stream into the shared buffer
-        for i in range(MAX_CHANNELS):
-            self._decode_stream(i)
-
-        # frequency → time transform
-        if self.os_version in (OS93A, OS93B):
-            transform_frame_93(fb, self.overlap, self.output_buffer, vol_shift)
-        else:
-            transform_frame_94x(fb, self.overlap, self.output_buffer, vol_shift)
+        # decode one frame from every active stream and transform to PCM
+        # (overridable: the TPU pipeline's control tracer records the per-frame
+        # control vectors here instead of doing the numeric work on host)
+        self._decode_and_transform(vol_shift)
 
         self._update_mixing_levels()
 
         self.data_port_timeout += 1
         if self.data_port_timeout > 13:
             self.data_port_timeout = 13
+
+    def _decode_and_transform(self, vol_shift):
+        """Decode every active channel's frame and transform to PCM."""
+        for i in range(MAX_CHANNELS):
+            self._decode_stream(i)
+        if self.os_version in (OS93A, OS93B):
+            transform_frame_93(self.frame_buffer, self.overlap,
+                               self.output_buffer, vol_shift)
+        else:
+            transform_frame_94x(self.frame_buffer, self.overlap,
+                                self.output_buffer, vol_shift)
 
     # ------------------------------------------------------------------
     # streams (reference: DCSDecoderNative.cpp:1387-1641)
@@ -470,6 +476,8 @@ class ReferenceDecoder:
 
     def _init_channel_stream(self, ch, mem, pos):
         st = ch.stream
+        if not isinstance(mem, PaddedView):
+            mem = PaddedView(mem)
         st.mem = mem
         n_frames = (int(mem[pos]) << 8) | int(mem[pos + 1])
         pos += 2
