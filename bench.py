@@ -1,50 +1,69 @@
 #!/usr/bin/env python
 """Benchmark: batched DCS decode throughput (×realtime per chip).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Runs the full device decode pipeline (Huffman symbol decode → dequant/scale →
+inverse transform → overlap-add) over a padded batch of DCS streams — the
+catalog-sweep configuration (BASELINE config #3) — and reports throughput as
+a multiple of the DCS real-time rate (31,250 samples/s).
 
-The DCS real-time rate is 31,250 samples/s (240-sample frames at ~130.2/s).
-``vs_baseline`` is ×realtime relative to the reference's native-decoder floor of
+``vs_baseline`` is measured against the reference's native-decoder floor of
 ~20× realtime on one CPU core (BASELINE.md).
 
-This stub will be replaced by the real batched catalog-sweep benchmark as the
-decoder pipeline lands.
+Prints ONE JSON line.
 """
 
+import glob
 import json
+import os
 import time
 
 
 def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "build", "jax_cache"))
     import jax
+    import numpy as np
+
+    from dcsexplorer_tpu.models import batched
+
+    streams = []
+    for path in sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "assets", "streams", "*.dcs94"))):
+        with open(path, "rb") as f:
+            streams.append(f.read())
+    assert streams, "no benchmark streams found under assets/streams/"
+
+    # replicate the stream set into a catalog-sized batch
+    copies = int(os.environ.get("DCS_BENCH_COPIES", "24"))
+    catalog = streams * copies
+    inputs = batched.SweepInputs(catalog)
+    args = inputs.args()
+
     import jax.numpy as jnp
 
-    # Placeholder workload until the decode pipeline exists: a batched integer
-    # butterfly pass shaped like the decoder's IFFT stage, to validate the
-    # bench harness end to end.
-    B, N = 1024, 256
-    x = jnp.zeros((B, N), jnp.int32)
+    # Reduce to a tiny on-device checksum and fetch it: on the tunneled TPU
+    # platform block_until_ready() does not reliably block, and fetching the
+    # full PCM would time the (slow dev-tunnel) transfer, not the decode.
+    def sweep(*a):
+        pcm = batched.batch_decode(*a)
+        return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    @jax.jit
-    def step(x):
-        a, b = x[:, ::2], x[:, 1::2]
-        return jnp.concatenate([a + b, a - b], axis=1)
+    fn = jax.jit(sweep, static_argnums=(3, 4))
+    int(fn(*args))   # compile + warm-up (fetch forces execution)
 
-    step(x).block_until_ready()
+    iters = int(os.environ.get("DCS_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
-    iters = 50
-    y = x
     for _ in range(iters):
-        y = step(y)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
+        checksum = int(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
 
-    frames = B * iters
-    samples = frames * 240
-    xrt = samples / 31250.0 / dt
+    # only genuinely decoded frames count as audio produced
+    audio_samples = int(inputs.n_frames.sum()) * 240
+    xrt = audio_samples / 31250.0 / dt
     print(json.dumps({
-        "metric": "decode_throughput_stub",
+        "metric": "batched_decode_throughput",
         "value": round(xrt, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 20.0, 2),

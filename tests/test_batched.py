@@ -1,0 +1,44 @@
+"""Batched catalog sweep: bit-exact vs. the compiled reference, per stream."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from dcsexplorer_tpu.models import batched
+
+from . import oracle
+
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "assets", "streams")
+
+
+def _asset_streams():
+    return [open(p, "rb").read()
+            for p in sorted(glob.glob(os.path.join(ASSETS, "*.dcs94")))]
+
+
+def test_batch_decode_bit_exact_vs_oracle():
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+    streams = _asset_streams()
+    assert streams, "missing stream assets"
+
+    inputs = batched.SweepInputs(streams)
+    pcm = jax.jit(batched.batch_decode, static_argnums=(3, 4))(*inputs.args())
+    pcm = np.asarray(pcm)
+    pcm_i16 = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16)
+
+    for k, s in enumerate(streams):
+        n = int(inputs.n_frames[k])
+        ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=0x67)
+        ref.load_stream(s, channel=0, mixing_level=0x64)
+        golden = ref.next_samples(n * 240)
+        got = pcm_i16[k, :n].reshape(-1)
+        mism = np.nonzero(golden != got)[0]
+        assert mism.size == 0, (
+            f"stream {k}: {mism.size} mismatches, first at {mism[0]} "
+            f"(frame {mism[0]//240})")
