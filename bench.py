@@ -50,7 +50,7 @@ def main():
         pcm = batched.batch_decode(*a)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    fn = jax.jit(sweep, static_argnums=(3, 4))
+    fn = jax.jit(sweep, static_argnums=(3, 4, 9))
     int(fn(*args))   # compile + warm-up (fetch forces execution)
 
     iters = int(os.environ.get("DCS_BENCH_ITERS", "5"))

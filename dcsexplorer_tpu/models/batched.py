@@ -21,7 +21,8 @@ from ..ops import transform as tf
 
 
 def stream_decode(stream_bytes, rel_start, header, fmt_type, sub_type,
-                  band_type, band_type_prev, mix, vol_shift, overlap0):
+                  band_type, band_type_prev, mix, vol_shift, overlap0,
+                  n_steps=256):
     """Fully decode one stream's F frames on device (single voice).
 
     stream_bytes: [L] int32; rel_start: [F]; header: [16]; band_type(_prev):
@@ -30,14 +31,14 @@ def stream_decode(stream_bytes, rel_start, header, fmt_type, sub_type,
     """
     dense, ctl = bd.decode_frames94(stream_bytes, rel_start, header,
                                     fmt_type, sub_type,
-                                    band_type, band_type_prev)
+                                    band_type, band_type_prev, n_steps=n_steps)
     fb = bd.dequant_mix(dense, ctl, mix)
     raw = tf.transform94_raw(fb, vol_shift)
     return tf.overlap_resolve(raw, overlap0)
 
 
 def batch_decode(stream_bytes, rel_start, headers, fmt_type, sub_type,
-                 band_type, band_type_prev, mix, vol_shift):
+                 band_type, band_type_prev, mix, vol_shift, n_steps=256):
     """Catalog sweep over a stream batch: vmap of stream_decode.
 
     stream_bytes: [S, L]; rel_start: [S, F]; headers: [S, 16];
@@ -48,9 +49,10 @@ def batch_decode(stream_bytes, rel_start, headers, fmt_type, sub_type,
     """
     S = stream_bytes.shape[0]
     ov0 = jnp.zeros((S, 16), jnp.int32)
-    fn = jax.vmap(stream_decode, in_axes=(0, 0, 0, None, None, 0, 0, 0, 0, 0))
+    fn = jax.vmap(stream_decode,
+                  in_axes=(0, 0, 0, None, None, 0, 0, 0, 0, 0, None))
     pcm, _ = fn(stream_bytes, rel_start, headers, fmt_type, sub_type,
-                band_type, band_type_prev, mix, vol_shift, ov0)
+                band_type, band_type_prev, mix, vol_shift, ov0, n_steps)
     return pcm
 
 
@@ -84,6 +86,9 @@ class SweepInputs:
             btp[k, n:] = i.band_type_prev[n - 1] if n else 0
         self.fmt_type = idxs[0].fmt_type
         self.sub_type = idxs[0].sub_type
+        max_dense = max(int(prescan.dense_totals(i).max()) for i in idxs
+                        if i.n_frames)
+        self.n_steps = min(256, (max_dense + 7) & ~7)
 
         # exact per-frame single-voice controls from the host VM tracer
         # (the first frames differ from steady state; replicate exactly)
@@ -119,4 +124,47 @@ class SweepInputs:
         return (jnp.asarray(self.stream_bytes), jnp.asarray(self.rel_start),
                 jnp.asarray(self.headers), self.fmt_type, self.sub_type,
                 jnp.asarray(self.band_type), jnp.asarray(self.band_type_prev),
-                jnp.asarray(self.mix), jnp.asarray(self.vol_shift))
+                jnp.asarray(self.mix), jnp.asarray(self.vol_shift),
+                self.n_steps)
+
+
+# ----------------------------------------------------------------------
+# Hybrid fast path: native host symbol decode + device numerics
+# ----------------------------------------------------------------------
+
+def hybrid_stage_device(dense, scale, fb_idx, valid, mix, vol_shift):
+    """Device stage of the hybrid path for one stream: exact dequant/scale,
+    inverse transform, overlap resolve.  dense/scale/fb_idx/valid: [F, 256];
+    mix/vol_shift: [F]."""
+    fb = bd.dequant_mix(dense, (scale, fb_idx, valid), mix)
+    raw = tf.transform94_raw(fb, vol_shift)
+    return tf.overlap_resolve(raw, jnp.zeros(16, jnp.int32))[0]
+
+
+def hybrid_batch_device(dense, scale, fb_idx, valid, mix, vol_shift):
+    """[S, F, ...] batched hybrid device stage."""
+    return jax.vmap(hybrid_stage_device)(dense, scale, fb_idx, valid,
+                                         mix, vol_shift)
+
+
+def hybrid_host_stage(streams):
+    """Native host symbol decode for a stream batch; returns packed arrays
+    [S, F, 256] (padded to the max frame count) or None if the native
+    runtime is unavailable."""
+    from .. import native
+    results = native.decode_dense_batch(streams)
+    if results is None:
+        return None
+    S = len(results)
+    F = max(r.n_frames for r in results)
+    dense = np.zeros((S, F, 256), dtype=np.int32)
+    scale = np.zeros((S, F, 256), dtype=np.int32)
+    fbix = np.zeros((S, F, 256), dtype=np.int32)
+    valid = np.zeros((S, F, 256), dtype=bool)
+    for k, r in enumerate(results):
+        n = r.n_frames
+        dense[k, :n] = r.dense
+        scale[k, :n] = r.scale
+        fbix[k, :n] = r.fb_idx
+        valid[k, :n] = r.valid.astype(bool)
+    return dense, scale, fbix, valid, [r.n_frames for r in results]

@@ -104,12 +104,14 @@ class StreamBank:
             sb = jnp.asarray(raw.astype(np.int32))
             # prescan bit offsets are absolute in mem; raw starts at pos
             rel_start = (idx.start_bit - pos * 8).astype(np.int32)
+            n_steps = (min(256, (int(prescan.dense_totals(idx).max()) + 7) & ~7)
+                       if idx.n_frames else 8)
             dense, (scale, fb_i, valid) = jax.jit(
-                bd.decode_frames94, static_argnums=(3, 4))(
+                bd.decode_frames94, static_argnums=(3, 4, 7))(
                 sb, jnp.asarray(rel_start), jnp.asarray(idx.header, jnp.int32),
                 int(idx.fmt_type), int(idx.sub_type),
                 jnp.asarray(idx.band_type, jnp.int32),
-                jnp.asarray(idx.band_type_prev, jnp.int32))
+                jnp.asarray(idx.band_type_prev, jnp.int32), n_steps)
             vals.append(np.asarray(dense))
             scales.append(np.asarray(scale))
             fbidx.append(np.asarray(fb_i))

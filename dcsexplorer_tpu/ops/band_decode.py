@@ -2,17 +2,23 @@
 scale and mix — every frame in parallel.
 
 Given the host prescan index (ops/prescan.py), each frame is independent:
-its bit offset and absolute band types are known, so the kernel runs a
-256-step ``lax.scan`` over sample symbols with the *frame batch* as the
-vector axis (each step = a few gathers + integer ALU over all frames at
-once), then dequantizes and mixes into per-frame 512-word frame buffers with
-the exact fixed-point accumulate.
+its bit offset and absolute band types are known, so the kernel runs a short
+``lax.scan`` over sample symbols with the *frame batch* as the vector axis,
+then dequantizes and mixes into per-frame 512-word frame buffers with the
+exact fixed-point accumulate.
+
+TPU design notes:
+- Per-band → per-slot control expansion uses scatter-diff + cumsum along the
+  slot axis (piecewise-constant expansion), avoiding any [F,256,16] tensors.
+- The scan performs exactly 3 gathers per step: one packed slot-control word,
+  one precomputed 24-bit window word, one codebook entry.  Everything else is
+  branchless VPU arithmetic.
+- The scan length is the maximum symbol count over the frame batch (from the
+  prescan), not the worst-case 256.
 
 Semantics anchors: reference DCSDecoderNative.cpp:1836-2261 (band loop,
-codebooks, scaling, accumulate), ops/fixmath.py for the numerics contract.
-
-All arrays use u16-in-int32 storage; arithmetic relies on int32 wrapping
-(see ops/fixmath.py).
+codebooks, scaling, accumulate); ops/fixmath.py for the numerics contract.
+All arrays use u16-in-int32 storage; arithmetic relies on int32 wrapping.
 """
 
 import numpy as np
@@ -43,6 +49,21 @@ _PREADJ = np.stack([np.asarray(T.PREADJ0), np.asarray(T.PREADJ3)]).astype(np.int
 _OUT_COUNT = np.asarray(T.BAND_OUTPUT_COUNT, dtype=np.int32)  # [16]
 _SCALE_MANT = np.asarray(T.SCALE_MANTISSA, dtype=np.int32)    # [4]
 
+# packed per-symbol control layout: code | maxw<<5 | cb_base<<10 | valid<<20
+_P_CODE, _P_MAXW, _P_CB, _P_VALID = 0, 5, 10, 20
+
+
+def window_words(stream_bytes):
+    """[L] byte array (int32) → [L] 24-bit window words W[i] = b[i..i+2].
+
+    Lets the scan read a whole bit-window with ONE gather.  The caller pads
+    the byte array with ≥3 trailing bytes.
+    """
+    b = stream_bytes
+    b1 = jnp.concatenate([b[1:], b[:1]])
+    b2 = jnp.concatenate([b[2:], b[:2]])
+    return (b << 16) | (b1 << 8) | b2
+
 
 def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
     """Per-band control vectors for a batch of frames (all int32).
@@ -51,7 +72,7 @@ def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
     band_type, band_type_prev: [F, 16].
 
     Returns dict of [F, 16] arrays: code (effective band type; 0 = no data),
-    scale (u16 scale factor), out_count (dense outputs), out_inc (1|2),
+    scale (u16 scale factor), dense (dense outputs), out_inc (1|2),
     advance (frame-buffer index advance for the band).
     """
     hdr = jnp.asarray(header, jnp.int32).reshape(1, 16)
@@ -92,101 +113,115 @@ def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
             "out_inc": out_inc, "advance": advance}
 
 
-def slot_controls(ctl):
-    """Expand per-band controls to per-dense-output-slot controls [F, 256].
+def _expand(starts, values, n_slots):
+    """Piecewise-constant expansion: out[f, d] = values[f, max b: starts[f,b] <= d].
 
-    Returns (code, scale, fb_idx, ref_val, maxw, cb_base, valid).
+    starts: [F, 16] nondecreasing; values: [F, 16].  Bands sharing a start
+    (zero-width) telescope so the last one wins, matching band ordering.
+    Implemented as scatter-add of successive diffs + cumsum along slots.
+    """
+    F = starts.shape[0]
+    diffs = jnp.concatenate(
+        [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1)
+    rows = (jnp.arange(F, dtype=jnp.int32)[:, None]
+            * jnp.ones((1, 16), jnp.int32)).reshape(-1)
+    cols = jnp.clip(starts, 0, n_slots).reshape(-1)
+    grid = jnp.zeros((F, n_slots + 1), jnp.int32)
+    grid = grid.at[rows, cols].add(diffs.reshape(-1))
+    return jnp.cumsum(grid[:, :n_slots], axis=1)
+
+
+def slot_controls(ctl, n_slots=256):
+    """Expand per-band controls to per-dense-slot controls.
+
+    Returns (packed [F,S] scan control word, scale [F,S], fb_idx [F,S],
+             valid [F,S] bool).
     """
     dense = ctl["dense"]
-    bounds = jnp.cumsum(dense, axis=1)                       # [F,16]
-    total = bounds[:, -1]                                    # [F]
-    band_start = bounds - dense                              # [F,16]
+    bounds = jnp.cumsum(dense, axis=1)
+    total = bounds[:, -1]
+    band_start = bounds - dense
     fb_base = 1 + jnp.cumsum(ctl["advance"], axis=1) - ctl["advance"]
 
-    d = jnp.arange(256, dtype=jnp.int32).reshape(1, 256, 1)
-    band_of = jnp.sum(d >= bounds[:, None, :], axis=2)       # [F,256] in 0..16
-    band_of = jnp.clip(band_of, 0, 15)
+    code_b = ctl["code"]
+    is_cb_b = (code_b >= 1) & (code_b <= 6)
+    maxw_b = jnp.where(is_cb_b, jnp.asarray(_MAXW)[jnp.clip(code_b, 0, 6)],
+                       jnp.clip(code_b, 0, 17))
+    cb_b = jnp.asarray(_CB_BASE)[jnp.clip(code_b, 0, 6)]
+    packed_b = code_b | (maxw_b << _P_MAXW) | (cb_b << _P_CB) | (1 << _P_VALID)
 
-    take = lambda a: jnp.take_along_axis(a, band_of, axis=1)
-    code = take(ctl["code"])
-    scale = take(ctl["scale"])
-    inc = take(ctl["out_inc"])
-    start = take(band_start)
-    base = take(fb_base)
-    dgrid = jnp.arange(256, dtype=jnp.int32).reshape(1, 256)
-    fb_idx = base + (dgrid - start) * inc
+    dgrid = jnp.arange(n_slots, dtype=jnp.int32).reshape(1, n_slots)
+    packed = _expand(band_start, packed_b, n_slots)
+    scale = _expand(band_start, ctl["scale"], n_slots)
+    # fb geometry in one expansion: start(9) | inc-1(1 bit) | base(10)
+    geom_b = band_start | ((ctl["out_inc"] - 1) << 9) | (fb_base << 10)
+    geom = _expand(band_start, geom_b, n_slots)
+    start_x = geom & 0x1FF
+    inc_x = ((geom >> 9) & 1) + 1
+    base_x = geom >> 10
+    fb_idx = base_x + (dgrid - start_x) * inc_x
     valid = dgrid < total[:, None]
-    ref_val = jnp.where(code >= 1, 1 << jnp.clip(code - 1, 0, 14), 0)
-    is_cb = (code >= 1) & (code <= 6)
-    maxw = jnp.where(is_cb, jnp.asarray(_MAXW)[jnp.clip(code, 0, 6)],
-                     jnp.clip(code, 0, 17))
-    cb_base = jnp.asarray(_CB_BASE)[jnp.clip(code, 0, 6)]
-    return code, scale, fb_idx, ref_val, maxw, cb_base, valid
+    packed = jnp.where(valid, packed, 0)
+    return packed, scale, fb_idx, valid
 
 
 def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
-                    band_type, band_type_prev):
+                    band_type, band_type_prev, n_steps=256):
     """Decode all frames of one stream in parallel.
 
-    stream_bytes: [L] int32 (byte values); start_bit: [F]; band_type /
-    band_type_prev: [F, 16].  fmt_type/sub_type/header are static.
+    stream_bytes: [L] int32 (byte values, ≥3 bytes padding); start_bit: [F];
+    band_type / band_type_prev: [F, 16]; fmt_type/sub_type/n_steps static.
+    n_steps must cover the maximum DENSE SLOT count over the frames (≤ 256;
+    host computes it from the prescan's band types — it is data-independent).
 
-    Returns (values [F, 256] dense sample values in u16 storage,
-             code/scale/fb_idx/valid slot controls) for dequant_mix.
+    Returns (dense values [F, 256] in u16 storage, (scale, fb_idx, valid)).
+
+    TPU structure: the scan runs over dense output slots, not symbols.  The
+    per-slot controls stream in as scan xs (sliced, not gathered); a "skip"
+    carry bit implements the codebooks' two-zeros-per-codeword case; emitted
+    values come out in slot order, so there is no scatter.  The only large
+    gather per step is the 24-bit window word at the bit cursor.
     """
     ctl = band_controls(header, sub_type, fmt_type, band_type, band_type_prev)
-    code, scale, fb_idx, ref_val, maxw, cb_base, valid = slot_controls(ctl)
+    packed, scale, fb_idx, valid = slot_controls(ctl)
     F = start_bit.shape[0]
     cb_flat = jnp.asarray(_CB_FLAT)
+    wwords = window_words(stream_bytes)
 
-    def step(carry, _):
-        cursor, didx = carry
-        # per-frame slot controls at the current dense index
-        g = lambda a: jnp.take_along_axis(a, didx[:, None], axis=1)[:, 0]
-        c = g(code)
-        mw = g(maxw)
-        cb = g(cb_base)
-        rv = g(ref_val)
-        ok = g(valid)
+    def step(carry, packed_t):
+        cursor, skip = carry
+        ok = packed_t != 0
+        c = packed_t & 0x1F
+        mw = (packed_t >> _P_MAXW) & 0x1F
+        cb = (packed_t >> _P_CB) & 0x3FF
 
-        byte_idx = cursor >> 3
-        w24 = ((stream_bytes[byte_idx] << 16)
-               | (stream_bytes[byte_idx + 1] << 8)
-               | (stream_bytes[byte_idx + 2]))
+        w24 = wwords[cursor >> 3]
         look = (w24 >> (24 - mw - (cursor & 7))) & ((1 << mw) - 1)
 
-        is_cb = (c >= 1) & (c <= 6)
-        entry = cb_flat[jnp.clip(cb + look, 0, _CB_FLAT.size - 1)]
-        nbits_cb = entry >> 8
-        val_cb = entry & 0xFF
-        two_zero = is_cb & ((val_cb & 0x80) != 0)
-        sample_cb = (val_cb & 0x7F) - rv
+        is_cb = c <= 6   # c==0 only when !ok (masked below)
+        entry = cb_flat[cb + look]
+        two_zero = is_cb & ((entry & 0x80) != 0)
+        sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
 
         # raw: sign-extend mw bits
-        sample_raw = look - ((look >> (jnp.maximum(mw, 1) - 1)) << jnp.maximum(mw, 1))
-        nbits = jnp.where(is_cb, nbits_cb, mw)
+        mw1 = jnp.maximum(mw, 1)
+        sample_raw = look - ((look >> (mw1 - 1)) << mw1)
+        consume = ok & ~skip
+        nbits = jnp.where(is_cb, entry >> 8, mw)
         sample = jnp.where(is_cb, sample_cb, sample_raw) & M16
-        sample = jnp.where(two_zero, 0, sample)
+        sample = jnp.where(two_zero | skip | ~ok, 0, sample)
 
-        nbits = jnp.where(ok, nbits, 0)
-        emit_idx = jnp.where(ok, didx, 255)
-        new_cursor = cursor + nbits
-        new_didx = jnp.minimum(didx + jnp.where(ok, 1 + two_zero.astype(jnp.int32), 0), 255)
-        return (new_cursor, new_didx), (emit_idx, jnp.where(ok, sample, 0))
+        cursor = cursor + jnp.where(consume, nbits, 0)
+        new_skip = jnp.where(skip, False, consume & two_zero)
+        return (cursor, new_skip), sample
 
     cursor0 = start_bit.astype(jnp.int32)
-    didx0 = jnp.zeros(F, jnp.int32)
-    _, (idxs, vals) = jax.lax.scan(step, (cursor0, didx0), None, length=256)
-    idxs = jnp.transpose(idxs)   # [F, 256 steps]
-    vals = jnp.transpose(vals)
-
-    # scatter dense values: steps → dense slots (two-zero emits are zeros and
-    # the value array is zero-initialized, so only explicit emits are set)
-    dense_vals = jnp.zeros((F, 257), jnp.int32)
-    rows = jnp.arange(F, dtype=jnp.int32)[:, None] * jnp.ones((1, 256), jnp.int32)
-    dense_vals = dense_vals.at[rows.reshape(-1), jnp.clip(idxs, 0, 256).reshape(-1)].set(
-        vals.reshape(-1), mode="drop")
-    dense_vals = dense_vals[:, :256]
+    skip0 = jnp.zeros(F, bool)
+    xs = jnp.transpose(packed[:, :n_steps])            # [steps, F]
+    _, vals = jax.lax.scan(step, (cursor0, skip0), xs)
+    dense_vals = jnp.transpose(vals)                   # [F, steps]
+    if n_steps < 256:
+        dense_vals = jnp.pad(dense_vals, ((0, 0), (0, 256 - n_steps)))
     return dense_vals, (scale, fb_idx, valid)
 
 
@@ -203,18 +238,23 @@ def dequant_mix(dense_vals, slot_ctl, mix, fb_prev=None, active=None):
     """
     scale, fb_idx, valid = slot_ctl
     F = dense_vals.shape[0]
-    if fb_prev is None:
-        fb_prev = jnp.zeros((F, 512), jnp.int32)
     if active is not None:
         valid = valid & active[:, None]
-    outbuf1 = fb_prev[:, 1]
 
-    out_old = jnp.take_along_axis(fb_prev, jnp.clip(fb_idx, 0, 511), axis=1)
     scaled = (s16(dense_vals) * (scale & M16)) & M16
-    prod = (s16(out_old) << 16) | scaled
-    prod = prod + s16(scaled) * (mix[:, None] & M16)
-    new_val = (prod >> 16) & M16
-    new_val = jnp.where(valid, new_val, out_old)
+    contrib_low = scaled + 0      # low word inserted into the accumulator
+    mixprod = s16(scaled) * (mix[:, None] & M16)
+
+    if fb_prev is None:
+        # out_old = 0 everywhere: prod = scaled | 0<<16, + mixprod
+        new_val = ((contrib_low + mixprod) >> 16) & M16
+        outbuf1 = jnp.zeros((F,), jnp.int32)
+        fb_prev = jnp.zeros((F, 512), jnp.int32)
+    else:
+        outbuf1 = fb_prev[:, 1]
+        out_old = jnp.take_along_axis(fb_prev, jnp.clip(fb_idx, 0, 511), axis=1)
+        prod = ((s16(out_old) << 16) | contrib_low) + mixprod
+        new_val = (prod >> 16) & M16
 
     rows = jnp.arange(F, dtype=jnp.int32)[:, None] * jnp.ones((1, 256), jnp.int32)
     tgt = jnp.where(valid, fb_idx, 512)

@@ -36,6 +36,7 @@ class StreamIndex:
     band_type: np.ndarray       # [F, 16] int32
     band_type_prev: np.ndarray  # [F, 16] int32
     end_bit: np.ndarray         # [F] int64: one past the frame's last bit
+    n_symbols: np.ndarray       # [F] int32: sample symbols in the frame
     error_frame: int            # first frame with a stream error, or -1
 
 
@@ -66,6 +67,7 @@ def prescan94(mem, pos=0):
     end_bit = np.zeros(n_frames, dtype=np.int64)
     bt = np.zeros((n_frames, 16), dtype=np.int32)
     btp = np.zeros((n_frames, 16), dtype=np.int32)
+    n_symbols = np.zeros(n_frames, dtype=np.int32)
     error_frame = -1
 
     # active header slots (terminator $7F ends both loops)
@@ -90,6 +92,7 @@ def prescan94(mem, pos=0):
 
         bt[f] = band_type
         start_bit[f] = _cursor(bit)
+        n_sym = 0
 
         # walk the sample symbols of each band
         for band in range(n_hdr):
@@ -118,6 +121,7 @@ def prescan94(mem, pos=0):
                 while i != 0:
                     entry = int(book[bit.peek(maxw)])
                     bit.get(entry >> 8)
+                    n_sym += 1
                     if entry & 0x80:
                         if i >= 2:
                             i -= 1
@@ -129,10 +133,33 @@ def prescan94(mem, pos=0):
             else:
                 for _ in range(out_count):
                     bit.get(code if code <= 17 else 17)
+                n_sym += out_count
 
+        n_symbols[f] = n_sym
         end_bit[f] = _cursor(bit)
 
     return StreamIndex(n_frames=n_frames, header=header, fmt_type=fmt_type,
                        sub_type=sub_type, start_bit=start_bit, band_type=bt,
                        band_type_prev=btp, end_bit=end_bit,
-                       error_frame=error_frame)
+                       n_symbols=n_symbols, error_frame=error_frame)
+
+
+def dense_totals(idx: StreamIndex):
+    """Per-frame dense output slot counts (data-independent, from band types).
+
+    The device scan length must cover max(dense_totals) — see
+    ops/band_decode.decode_frames94.
+    """
+    import numpy as np
+    header = np.asarray(idx.header, dtype=np.int64)
+    active = np.ones(16, dtype=bool)
+    for i in range(16):
+        if (int(header[i]) & 0x7F) == 0x7F:
+            active[i:] = False
+            break
+    counts = np.asarray(T.BAND_OUTPUT_COUNT).copy()
+    halved = (header & 0x40) != 0
+    counts = np.where(halved, counts // 2, counts)
+    per_band = np.where(active[None, :] & (idx.band_type != 0),
+                        counts[None, :], 0)
+    return per_band.sum(axis=1).astype(np.int32)

@@ -28,7 +28,7 @@ def test_batch_decode_bit_exact_vs_oracle():
     assert streams, "missing stream assets"
 
     inputs = batched.SweepInputs(streams)
-    pcm = jax.jit(batched.batch_decode, static_argnums=(3, 4))(*inputs.args())
+    pcm = jax.jit(batched.batch_decode, static_argnums=(3, 4, 9))(*inputs.args())
     pcm = np.asarray(pcm)
     pcm_i16 = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16)
 
