@@ -229,8 +229,8 @@ class ReferenceDecoder:
             ch.stop = False
             ch.channel_volume = 0xFF
         self.set_master_volume(self.default_volume)
+        # clear the decoder's own incoming queue (NOT the host-bound port)
         self.data_port_queue.clear()
-        self.host.clear_data_port()
         self.last_data_port_byte = 0
         self.n_data_port_bytes = 0
 
