@@ -463,6 +463,13 @@ class ReferenceDecoder:
     def is_stream_playing(self, chno):
         return self.channels[chno].stream.playing
 
+    def clear_tracks(self):
+        """Stop all track programs and streams (reference: ClearTracks,
+        DCSDecoderNative.cpp:1466-1473)."""
+        for ch in self.channels:
+            ch.track_ptr = None
+            ch.stream.bit = None
+
     def _load_audio_stream(self, stream_ch, source_ch, loop_count, mem, pos):
         self._init_channel_stream(self.channels[stream_ch], mem, pos)
         st = self.channels[stream_ch].stream

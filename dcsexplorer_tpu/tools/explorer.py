@@ -1,0 +1,290 @@
+"""dcsexplorer-tpu — DCS ROM explorer CLI.
+
+The framework's counterpart to the reference's DCSExplorer program
+(reference: DCSExplorer/DCSExplorer.cpp): ROM loading and introspection,
+track/stream listings, program decompilation, WAV / raw-.dcs extraction,
+autoplay sweeps, and a lockstep validation mode (TPU pipeline vs. the scalar
+reference decoder).
+
+Usage:
+  python -m dcsexplorer_tpu.tools.explorer ROM.zip [options]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="dcsexplorer-tpu",
+        description="DCS audio ROM explorer (TPU-native framework)")
+    p.add_argument("rom", help="PinMame-style ROM zip")
+    p.add_argument("--u2", help="explicit U2 file name inside the zip")
+    p.add_argument("--info", action="store_true", help="show ROM info (default)")
+    p.add_argument("--tracks", action="store_true", help="list tracks")
+    p.add_argument("--programs", action="store_true",
+                   help="list tracks with decompiled programs")
+    p.add_argument("--streams", action="store_true", help="list audio streams")
+    p.add_argument("--ditables", action="store_true",
+                   help="list deferred-indirect tables")
+    p.add_argument("--extract-tracks", metavar="PREFIX",
+                   help="decode every type-1 track to PREFIXnnnn.wav")
+    p.add_argument("--extract-streams", metavar="PREFIX",
+                   help="extract streams: PREFIXaddr.wav + PREFIXaddr.dcs")
+    p.add_argument("--autoplay", metavar="OUT.wav",
+                   help="autoplay sweep of all tracks to one WAV")
+    p.add_argument("--validate", action="store_true",
+                   help="lockstep-validate the TPU pipeline against the "
+                        "scalar reference decoder over an autoplay sweep")
+    p.add_argument("--backend", choices=("tpu", "scalar"), default="tpu",
+                   help="decode backend for extraction/autoplay")
+    p.add_argument("--vol", type=int, default=0x67, help="master volume 0-255")
+    p.add_argument("--platform", choices=("default", "cpu"), default="default",
+                   help="JAX platform override (cpu = host execution)")
+    p.add_argument("--max-track-frames", type=int, default=4000,
+                   help="cap per-track frames in sweeps")
+    return p
+
+
+def load_rom(path, explicit_u2=None):
+    from ..rom import zipload
+    rs, assigned = zipload.load_zip_file(path, explicit_u2=explicit_u2)
+    status = rs.check()
+    return rs, assigned, status
+
+
+def cmd_info(rs, assigned, status):
+    from ..rom.image import game_title
+    print(f"Signature:   {rs.signature()}")
+    print(f"Game:        {game_title(rs.game_id)}" +
+          (f" [{rs.game_id}]" if rs.game_id else ""))
+    print(f"Version:     {rs.version_info()}")
+    print(f"ROM check:   {'OK' if status == 1 else f'FAILED (code {status})'}")
+    print(f"Channels:    {rs.num_channels() or '?'}")
+    print(f"Tracks:      {rs.n_tracks}")
+    print(f"Catalog:     U2 ${rs.catalog_ofs:05X}")
+    print("Chips:")
+    for i in range(8):
+        if not rs.is_dummy[i]:
+            print(f"  U{i+2}: {rs.chip_sizes[i]//1024} KB")
+    print("Zip contents:")
+    for name, chip in assigned.items():
+        tag = f"U{chip}" if chip else "(unused)"
+        print(f"  {name:<30} {tag}")
+
+
+def cmd_tracks(rs, programs=False):
+    from ..rom import tracks as rtracks
+    for t in range(rs.n_tracks):
+        ti = rtracks.get_track_info(rs, rs.os_version, t)
+        if ti is None:
+            continue
+        kind = {1: "program", 2: "deferred", 3: "deferred-indirect"}[ti.type]
+        extra = ""
+        if ti.type == 1:
+            secs = ti.time * 240 / 31250.0
+            extra = f" time={secs:.2f}s" + (" (loops)" if ti.looping else "")
+        else:
+            extra = f" defer=${ti.defer_code:04X}"
+        print(f"Track ${t:04X}: ch {ti.channel} {kind} @ ${ti.address:06X}{extra}")
+        if programs and ti.type == 1:
+            print(rtracks.explain_track(rs, rs.os_version, t, "    "))
+
+
+def cmd_streams(rs):
+    from ..rom import tracks as rtracks
+    from ..ops import prescan
+    total_bytes = 0
+    total_frames = 0
+    for addr in rtracks.list_streams(rs, rs.os_version):
+        p = rs.make_pointer(addr)
+        try:
+            idx = prescan.prescan94(p.mem, p.pos)
+            n_bytes = int(idx.end_bit[-1] // 8 - p.pos + 1) if idx.n_frames else 18
+            secs = idx.n_frames * 240 / 31250.0
+            pcm_bytes = idx.n_frames * 240 * 2
+            ratio = pcm_bytes / max(1, n_bytes)
+            kbps = n_bytes * 8 / max(secs, 1e-9) / 1000.0
+            print(f"${addr:06X}: {idx.n_frames:5d} frames {secs:7.2f}s "
+                  f"{n_bytes:7d} bytes  type {idx.fmt_type}/{idx.sub_type}"
+                  f"  {kbps:6.1f} kbps  {ratio:4.1f}:1")
+            total_bytes += n_bytes
+            total_frames += idx.n_frames
+        except Exception as e:
+            print(f"${addr:06X}: <error: {e}>")
+    secs = total_frames * 240 / 31250.0
+    print(f"Total: {total_frames} frames ({secs:.1f}s), {total_bytes} bytes")
+
+
+def cmd_ditables(rs):
+    from ..rom import tracks as rtracks
+    dii = rtracks.get_deferred_indirect_tables(rs, rs.os_version)
+    for (tid, tracks_, vars_) in dii.tables:
+        lst = ", ".join(f"${t:04X}" for t in tracks_)
+        vl = ", ".join(f"${v:02X}" for v in vars_)
+        print(f"Table ${tid:02X} [vars {vl}]: {lst}")
+    for (vid, mx) in dii.vars:
+        print(f"Var ${vid:02X}: max value {mx}")
+
+
+def _decode_track(rs, track, vol, backend, max_frames):
+    from ..models import romplay
+    from ..refdec import decoder as rd
+    from ..rom import tracks as rtracks
+    ti = rtracks.get_track_info(rs, rs.os_version, track)
+    n = min((ti.time or 40) + 4, max_frames)
+    events = {0: (lambda dec: (dec.write_data_port((track >> 8) & 0xFF),
+                               dec.write_data_port(track & 0xFF)))}
+    if backend == "tpu":
+        pcm, _ = romplay.play_session(rs, events, n, default_volume=vol)
+        return pcm
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = vol
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    out = []
+    for f in range(n):
+        if f in events:
+            events[f](dec)
+        out.extend(dec.next_samples(240))
+    return np.array(out, dtype=np.int16)
+
+
+def cmd_extract_tracks(rs, prefix, vol, backend, max_frames):
+    from ..rom import tracks as rtracks
+    from ..utils import audioio
+    for t in range(rs.n_tracks):
+        ti = rtracks.get_track_info(rs, rs.os_version, t)
+        if ti is None or ti.type != 1 or ti.time == 0:
+            continue
+        pcm = _decode_track(rs, t, vol, backend, max_frames)
+        path = f"{prefix}{t:04x}.wav"
+        audioio.write_wav(path, pcm)
+        print(f"track ${t:04X} -> {path} ({pcm.size} samples)")
+
+
+def cmd_extract_streams(rs, prefix, vol, backend):
+    from ..rom import tracks as rtracks
+    from ..ops import prescan
+    from ..refdec import decoder as rd
+    from ..utils import audioio
+    for addr in rtracks.list_streams(rs, rs.os_version):
+        p = rs.make_pointer(addr)
+        idx = prescan.prescan94(p.mem, p.pos)
+        n_bytes = int(idx.end_bit[-1] // 8 - p.pos + 4) if idx.n_frames else 18
+        raw = bytes(p.mem[p.pos:p.pos + n_bytes])
+        audioio.write_dcs_raw(f"{prefix}{addr:06x}.dcs", raw, rs.os_version)
+
+        dec = rd.ReferenceDecoder()
+        dec.default_volume = vol
+        dec.init_standalone(rs.os_version)
+        dec.soft_boot()
+        dec.load_audio_stream(0, raw, mixing_level=0x64)
+        pcm = np.array(dec.next_samples((idx.n_frames + 2) * 240), dtype=np.int16)
+        audioio.write_wav(f"{prefix}{addr:06x}.wav", pcm)
+        print(f"stream ${addr:06X} -> {prefix}{addr:06x}.wav/.dcs "
+              f"({idx.n_frames} frames)")
+
+
+def cmd_autoplay(rs, out_path, vol, backend, max_frames):
+    from ..models import romplay
+    from ..utils import audioio
+    pcm, schedule = romplay.autoplay(rs, default_volume=vol,
+                                     max_frames_per_track=max_frames)
+    audioio.write_wav(out_path, pcm)
+    for (t, frame, dur) in schedule:
+        print(f"  track ${t:04X} at {frame*240/31250.0:7.2f}s "
+              f"({dur*240/31250.0:.2f}s)")
+    print(f"autoplay -> {out_path} ({pcm.size/31250.0:.1f}s)")
+
+
+def cmd_validate(rs, vol, max_frames):
+    """Lockstep: TPU pipeline vs scalar reference over an autoplay sweep
+    (mirrors the reference's --validate, DCSExplorer.cpp:1338-1566)."""
+    from ..models import romplay
+    from ..refdec import decoder as rd
+    pcm, schedule = romplay.autoplay(rs, default_volume=vol,
+                                     max_frames_per_track=max_frames)
+    events = {}
+    for (t, frame, _) in schedule:
+        def make_event(track):
+            def ev(dec):
+                dec.clear_tracks()
+                dec.write_data_port((track >> 8) & 0xFF)
+                dec.write_data_port(track & 0xFF)
+            return ev
+        events[frame] = make_event(t)
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = vol
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    golden = []
+    n = pcm.size // 240
+    for f in range(n):
+        if f in events:
+            events[f](dec)
+        golden.extend(dec.next_samples(240))
+    golden = np.array(golden, dtype=np.int16)
+    mism = np.nonzero(golden != pcm)[0]
+    frames_bad = np.unique(mism // 240)
+    print(f"Samples compared: {golden.size}")
+    print(f"Sample mismatches: {mism.size} in {frames_bad.size} frames")
+    if mism.size:
+        i = int(mism[0])
+        print(f"First diff at sample {i} (frame {i//240}): "
+              f"scalar={golden[i]} tpu={pcm[i]}")
+        print("Validation FAILED")
+        return 1
+    print("Validation Succeeded")
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if not os.path.exists(args.rom):
+        print(f"error: ROM file not found: {args.rom}", file=sys.stderr)
+        return 2
+    try:
+        rs, assigned, status = load_rom(args.rom, args.u2)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    did = False
+    if args.tracks or args.programs:
+        cmd_tracks(rs, programs=args.programs)
+        did = True
+    if args.streams:
+        cmd_streams(rs)
+        did = True
+    if args.ditables:
+        cmd_ditables(rs)
+        did = True
+    if args.extract_tracks:
+        cmd_extract_tracks(rs, args.extract_tracks, args.vol, args.backend,
+                           args.max_track_frames)
+        did = True
+    if args.extract_streams:
+        cmd_extract_streams(rs, args.extract_streams, args.vol, args.backend)
+        did = True
+    if args.autoplay:
+        cmd_autoplay(rs, args.autoplay, args.vol, args.backend,
+                     args.max_track_frames)
+        did = True
+    rc = 0
+    if args.validate:
+        rc = cmd_validate(rs, args.vol, args.max_track_frames)
+        did = True
+    if args.info or not did:
+        cmd_info(rs, assigned, status)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,7 +38,7 @@ def _make_spec():
         # 1: set level then play stream on channel 0
         g.TrackSpec(1, channel=0, steps=[
             g.op_mix(0, 0, 0x64),
-            g.op_play(0, names[0], repeat=1),
+            g.op_play(0, names[0], repeat=0),
             g.op_wait_forever(),
         ]),
         # 2: second voice with a fade and a loop of short plays
@@ -195,10 +195,6 @@ def test_romgen_reference_parity_and_lockstep():
         assert np.array_equal(g, m), "deferred-indirect mismatch"
 
         # host-bound data port bytes must match too
-        ref_rx = np.frombuffer(
-            oracle.OracleDecoder.__dict__["read_host_bytes"].__get__(
-                type("X", (), {"_lib": lib, "_h": h})()), dtype=np.uint8
-        ) if False else None
         out = np.empty(65536, dtype=np.uint8)
         nb = lib.dcsref_read_host_bytes(
             h, out.ctypes.data_as(C.POINTER(C.c_uint8)), 65536)
