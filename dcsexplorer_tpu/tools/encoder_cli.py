@@ -1,0 +1,123 @@
+"""dcsencoder-tpu — DCS stream/ROM encoder CLI.
+
+Counterpart of the reference's DCSEncoder program (reference:
+DCSEncoder/Main.cpp): transcode audio files into DCS streams (raw 'DCSa'
+containers) or compile a script into a full ROM zip.
+
+Usage:
+  python -m dcsexplorer_tpu.tools.encoder_cli input.wav -o out.dcs [options]
+  python -m dcsexplorer_tpu.tools.encoder_cli --script build.dcss -o roms.zip
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="dcsencoder-tpu",
+        description="DCS audio encoder / ROM compiler (TPU-native framework)")
+    p.add_argument("inputs", nargs="*", help="WAV or raw .dcs input files")
+    p.add_argument("-o", "--output", help="output file (.dcs) or directory")
+    p.add_argument("--script", help="compile a DCS script into a ROM zip")
+    p.add_argument("--bitrate", type=int, default=128000,
+                   help="target bit rate (bits/s)")
+    p.add_argument("--cutoff", type=float, default=0.97,
+                   help="power band cutoff fraction (1.0 keeps all bands)")
+    p.add_argument("--max-error", type=float, default=10.0 / 32768.0,
+                   help="max quantization error (fraction of full scale)")
+    p.add_argument("--check", action="store_true",
+                   help="round-trip decode each stream and report SNR")
+    return p
+
+
+def _load_audio(path):
+    from ..utils import audioio
+    if audioio.is_dcs_raw(path):
+        stream, osv = audioio.read_dcs_raw(path)
+        return ("dcs", stream, osv)
+    audio, rate = audioio.read_wav(path)
+    return ("pcm", audio * 32768.0, rate)
+
+
+def encode_file(path, out_path, params, check=False):
+    from ..encoder import encoder as enc
+    from ..utils import audioio
+    from ..refdec.decoder import OS94
+
+    kind, data, meta = _load_audio(path)
+    if kind == "dcs":
+        # already a DCS stream: pass through
+        audioio.write_dcs_raw(out_path, data, meta)
+        print(f"{path}: raw DCS stream passed through -> {out_path}")
+        return
+
+    stream, nf = enc.encode_pcm(data.astype(np.float32), params,
+                                sample_rate=int(meta))
+    audioio.write_dcs_raw(out_path, stream, OS94)
+    secs = nf * 240 / 31250.0
+    kbps = len(stream) * 8 / secs / 1000.0
+    msg = (f"{path}: {secs:.2f}s -> {out_path} "
+           f"({len(stream)} bytes, {kbps:.1f} kbps)")
+    if check:
+        from ..refdec.decoder import ReferenceDecoder
+        dec = ReferenceDecoder()
+        dec.default_volume = 255
+        dec.init_standalone(OS94)
+        dec.soft_boot()
+        dec.load_audio_stream(0, stream, mixing_level=0x64)
+        out = np.array(dec.next_samples(nf * 240), dtype=np.float64)
+        src = np.zeros(nf * 240)
+        n = min(src.size, data.size)
+        src[:n] = data[:n]
+        g = np.dot(out, src) / max(np.dot(src, src), 1e-9)
+        err = out - g * src
+        snr = 10 * np.log10(max(np.sum((g * src) ** 2), 1e-9)
+                            / max(np.sum(err ** 2), 1e-9))
+        msg += f"  [round-trip SNR {snr:.1f} dB]"
+    print(msg)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..encoder.encoder import CompressionParams
+    params = CompressionParams(
+        target_bit_rate=args.bitrate,
+        power_band_cutoff=args.cutoff,
+        maximum_quantization_error=args.max_error)
+
+    if args.script:
+        from ..compiler import script as cscript
+        out = args.output or "romset.zip"
+        try:
+            zip_bytes, report = cscript.compile_script_file(args.script, params)
+        except cscript.ScriptError as e:
+            print(f"script error: {e}", file=sys.stderr)
+            return 1
+        with open(out, "wb") as f:
+            f.write(zip_bytes)
+        print(report)
+        print(f"ROM set -> {out}")
+        return 0
+
+    if not args.inputs:
+        print("error: no input files (or use --script)", file=sys.stderr)
+        return 2
+    for path in args.inputs:
+        if not os.path.exists(path):
+            print(f"error: not found: {path}", file=sys.stderr)
+            return 2
+        if args.output and len(args.inputs) == 1 and not os.path.isdir(args.output):
+            out_path = args.output
+        else:
+            base = os.path.splitext(os.path.basename(path))[0] + ".dcs"
+            out_path = os.path.join(args.output or ".", base)
+        encode_file(path, out_path, params, check=args.check)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,135 @@
+"""Encoder round-trip quality and cross-decoder validity.
+
+The encoder's streams must (a) decode identically in this framework and in
+the compiled reference decoder, (b) reconstruct the source with quality at
+least matching the reference encoder's own round trip, and (c) follow the
+reference's level convention (≈0.48× at standard settings).
+"""
+
+import numpy as np
+import pytest
+
+from dcsexplorer_tpu.encoder import encoder as enc
+from dcsexplorer_tpu.encoder.resample import resample
+from dcsexplorer_tpu.refdec.decoder import OS94, ReferenceDecoder
+
+from . import oracle
+
+
+def _signal(seconds=0.8, seed=9):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(31250 * seconds)) / 31250.0
+    sig = (7000 * np.sin(2 * np.pi * 440 * t)
+           + 2500 * np.sin(2 * np.pi * 1870 * t)
+           + 500 * rng.standard_normal(t.size))
+    env = np.minimum(1.0, t * 12) * np.minimum(1.0, (t[-1] - t) * 12)
+    return np.clip(sig * env, -32000, 32000).astype(np.int16)
+
+
+def _decode_mine(stream, n_frames):
+    dec = ReferenceDecoder()
+    dec.default_volume = 255
+    dec.init_standalone(OS94)
+    dec.soft_boot()
+    dec.load_audio_stream(0, stream, mixing_level=0x64)
+    return np.array(dec.next_samples(n_frames * 240), dtype=np.int16)
+
+
+def _lag_gain_snr(out, src):
+    n = min(out.size, src.size)
+    o, s = out[:n].astype(np.float64), src[:n].astype(np.float64)
+    c = np.correlate(o, s, "full")
+    lag = int(np.argmax(np.abs(c))) - (n - 1)
+    if lag >= 0:
+        o2, s2 = o[lag:], s[:n - lag]
+    else:
+        o2, s2 = o[:n + lag], s[-lag:]
+    g = np.dot(o2, s2) / np.dot(s2, s2)
+    err = o2 - g * s2
+    return lag, g, 10 * np.log10(np.sum((g * s2) ** 2) / np.sum(err ** 2))
+
+
+def test_roundtrip_quality_and_cross_decoder():
+    pcm = _signal()
+    # keep all bands for the quality check (the default 0.97 power cutoff
+    # intentionally discards low-power bands, same as the reference)
+    stream, nf = enc.encode_pcm(
+        pcm, enc.CompressionParams(power_band_cutoff=1.0))
+    out = _decode_mine(stream, nf)
+
+    lag, gain, snr = _lag_gain_snr(out, pcm)
+    assert abs(lag) <= 16
+    assert 0.4 < gain < 0.56, f"level convention drifted: gain={gain}"
+    assert snr > 28, f"round-trip SNR too low: {snr:.1f} dB"
+
+    # default (lossy-cutoff) settings still reach a reasonable floor
+    stream_d, nf_d = enc.encode_pcm(pcm)
+    _, _, snr_d = _lag_gain_snr(_decode_mine(stream_d, nf_d), pcm)
+    assert snr_d > 14, f"default-settings SNR too low: {snr_d:.1f} dB"
+
+    if oracle.get_lib() is not None:
+        ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=255)
+        ref.load_stream(stream, channel=0, mixing_level=0x64)
+        rout = ref.next_samples(nf * 240)
+        assert np.array_equal(rout, out), \
+            "reference decoder disagrees with ours on our encoder's stream"
+
+
+def test_quality_vs_reference_encoder():
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+    pcm = _signal(seed=21)
+    my_stream, my_nf = enc.encode_pcm(pcm)
+    my_out = _decode_mine(my_stream, my_nf)
+    _, _, my_snr = _lag_gain_snr(my_out, pcm)
+
+    ref_stream, ref_nf = oracle.encode(pcm)
+    ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=255)
+    ref.load_stream(ref_stream, channel=0, mixing_level=0x64)
+    ref_out = ref.next_samples(ref_nf * 240)
+    _, _, ref_snr = _lag_gain_snr(ref_out, pcm)
+
+    assert my_snr >= ref_snr - 1.0, (
+        f"my encoder {my_snr:.1f} dB vs reference {ref_snr:.1f} dB")
+    assert len(my_stream) <= len(ref_stream), (
+        f"my stream larger: {len(my_stream)} vs {len(ref_stream)} bytes")
+
+
+def test_encoder_edge_cases():
+    # silence
+    stream, nf = enc.encode_pcm(np.zeros(1000, dtype=np.int16))
+    out = _decode_mine(stream, nf)
+    assert np.abs(out).max() == 0
+    # tiny input (sub-frame)
+    stream, nf = enc.encode_pcm(np.ones(37, dtype=np.int16) * 1000)
+    assert nf == 1
+    _decode_mine(stream, nf)
+    # full-scale square wave must not produce invalid streams
+    sq = (np.tile([32000, -32000], 2000)).astype(np.int16)
+    stream, nf = enc.encode_pcm(sq)
+    out = _decode_mine(stream, nf)
+    assert np.abs(out.astype(np.int32)).max() > 4000
+
+
+def test_resampler():
+    t48 = np.arange(48000) / 48000.0
+    x48 = np.sin(2 * np.pi * 1000 * t48).astype(np.float32)
+    y = resample(x48, 48000, 31250)
+    assert abs(y.size - 31250) <= 2
+    t31 = np.arange(y.size) / 31250.0
+    ref = np.sin(2 * np.pi * 1000 * t31)
+    # ignore filter edges
+    seg = slice(200, y.size - 200)
+    err = y[seg] - ref[seg]
+    snr = 10 * np.log10(np.sum(ref[seg] ** 2) / np.sum(err ** 2))
+    assert snr > 40, f"resampler SNR {snr:.1f} dB"
+
+
+def test_encode_via_rate_conversion():
+    t = np.arange(22050) / 22050.0
+    pcm = (8000 * np.sin(2 * np.pi * 500 * t)).astype(np.int16)
+    stream, nf = enc.encode_pcm(pcm, sample_rate=22050)
+    out = _decode_mine(stream, nf)
+    # one second of audio at either rate
+    assert abs(out.size - 31250) < 600
+    assert np.abs(out.astype(np.int32)).max() > 1500
