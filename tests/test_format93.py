@@ -1,0 +1,227 @@
+"""1993-format family: differential validation against the compiled reference.
+
+No 93-format encoder exists in the reference (it only emits 1994+ streams),
+and original 1993 ROMs are not available — so these tests synthesize
+valid-random 93-format streams directly from the decode grammar (builders
+below) and require bit-exact PCM parity between this framework's scalar
+decoder and the compiled reference decoder for OS93a/OS93b, covering format
+types 0 and 1 and the OS93a Type-1 (Judge Dredd) format.
+"""
+
+import numpy as np
+import pytest
+
+from dcsexplorer_tpu.encoder.encoder import BitWriter
+from dcsexplorer_tpu.format import tables as T
+from dcsexplorer_tpu.refdec.decoder import OS93A, OS93B, ReferenceDecoder
+
+from . import oracle
+
+
+def _require_oracle():
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+
+
+def _header93(fmt_type, n_bands, rng):
+    """16-byte header: per-band scale codes; $7F terminates."""
+    hdr = bytearray(16)
+    for b in range(16):
+        if b >= n_bands:
+            hdr[b] = 0x7F
+        else:
+            scale_idx = int(rng.integers(0, 4))
+            shift = int(rng.integers(9, 13))   # moderate scale factors
+            stride = int(rng.integers(0, 2))
+            hdr[b] = (stride << 6) | (shift << 2) | scale_idx
+    if fmt_type == 1:
+        hdr[0] |= 0x80
+    return bytes(hdr)
+
+
+def build_stream93_fmt0(n_frames=12, n_bands=6, seed=0):
+    """Format type 0: per-band explicit subtype bits + 4-bit type codes."""
+    rng = np.random.default_rng(seed)
+    hdr = _header93(0, n_bands, rng)
+    w = BitWriter()
+    for _ in range(n_frames):
+        reuse = False
+        for b in range(n_bands):
+            if hdr[b] & 0x7F == 0x7F:
+                break
+            if reuse:
+                again = int(rng.integers(0, 2))
+                w.write(again, 1)
+                if again:
+                    continue
+                reuse = False
+            # optional subtype change
+            change = int(rng.integers(0, 2))
+            w.write(change, 1)
+            if change:
+                w.write(int(rng.integers(0, 2)), 1)
+            t = int(rng.integers(0, 6))        # type code 0..5
+            w.write(t, 4)
+            if t == 0:
+                reuse = True
+            else:
+                width = t + 1
+                for _ in range(16):
+                    w.write(int(rng.integers(0, 1 << width)), width)
+    body = w.bytes()
+    return n_frames.to_bytes(2, "big") + hdr + body + b"\xff" * 8
+
+
+def _huff93_codes():
+    """Invert the 93 band-type tree: value+inversion-flag → (code, nbits)."""
+    tree = np.asarray(T.HUFFTREE93)
+    codes = {}
+
+    def walk(idx, bits, nb):
+        ele = int(tree[idx])
+        if ele & 0x8000:
+            v = ele & 0x3F
+            if v < 0x1E:
+                key = (v - 0x0F, False)
+            else:
+                key = (v - 0x2E, True)
+            if key not in codes:
+                codes[key] = (bits, nb)
+            return
+        walk(ele & 0xFF, bits << 1, nb + 1)
+        walk((ele >> 8) & 0x7F, (bits << 1) | 1, nb + 1)
+
+    e0 = int(tree[0])
+    walk(e0 & 0xFF, 0, 1)
+    walk((e0 >> 8) & 0x7F, 1, 1)
+    return codes
+
+
+def build_stream93_fmt1(n_frames=12, n_bands=6, seed=1):
+    """Format type 1: Huffman-coded differential band types."""
+    rng = np.random.default_rng(seed)
+    hdr = _header93(1, n_bands, rng)
+    codes = _huff93_codes()
+    w = BitWriter()
+    band_type = [0] * 16
+    for f in range(n_frames):
+        reuse = False
+        for b in range(n_bands):
+            if hdr[b] & 0x7F == 0x7F:
+                break
+            if reuse:
+                again = int(rng.integers(0, 2))
+                w.write(again, 1)
+                if again:
+                    continue
+                reuse = False
+            target = int(rng.integers(0, 6))
+            delta = target - band_type[b]
+            invert = bool(rng.integers(0, 2))
+            if (delta, invert) not in codes:
+                invert = not invert
+            if (delta, invert) not in codes:
+                target = band_type[b]
+                delta = 0
+                invert = False
+            cw, nb = codes[(delta, invert)]
+            w.write(cw, nb)
+            band_type[b] = target
+            t = band_type[b]
+            if t == 0:
+                reuse = True
+            else:
+                n_samp = (15 if (b == 0 and f >= 0 and True) else 16)
+                # sample count: stride code 0 → 15 on the first band else 16;
+                # stride 1 → 8 (see refdec/frames.py)
+                stride = (hdr[b] & 0x7F) >> 6
+                if stride:
+                    n_samp = 8
+                else:
+                    n_samp = 15 if b == 0 else 16
+                for _ in range(n_samp):
+                    w.write(int(rng.integers(0, 1 << t)), t)
+    body = w.bytes()
+    return n_frames.to_bytes(2, "big") + hdr + body + b"\xff" * 8
+
+
+def build_stream93a_type1(n_frames=10, n_bands=8, selector=0, seed=2):
+    """OS93a Type 1 (Judge Dredd): 1-byte header, pair-table samples."""
+    rng = np.random.default_rng(seed)
+    hdr = bytes([0x80 | (selector << 5) | n_bands])
+    books = np.asarray(T.OS93A_BAND_BITS_CODEBOOKS)
+    base = (selector << 5) >> 1
+    # invert the band-bits codebook group: bandBits → (prefix codeword, len)
+    prefix = {}
+    for i in range(16):
+        bb, nb = int(books[base + i][0]), int(books[base + i][1])
+        key = bb & 0xFFFF
+        if key not in prefix:
+            prefix[key] = (i >> (4 - nb), nb)
+    scale_book = np.asarray(T.OS93A_SCALE_CODEBOOK)
+    # a known-simple scale codeword: entry 0 → value 0, 2 bits, code 00
+    w = BitWriter()
+    inputs_per_band = np.asarray(T.OS93A_INPUTS_PER_BAND)
+    usable = sorted(k for k in prefix if k != 0xFFFF and k <= 6)
+    for _ in range(n_frames):
+        for b in range(n_bands):
+            bits = int(rng.choice(usable))
+            cw, nb = prefix[bits]
+            w.write(cw, nb)
+            if bits == 0:
+                continue
+            w.write(0, 2)        # scale codeword: delta 0
+            for _ in range(int(inputs_per_band[b])):
+                w.write(int(rng.integers(0, 1 << bits)), bits)
+    body = w.bytes()
+    return n_frames.to_bytes(2, "big") + hdr + body + b"\xff" * 8
+
+
+def _compare(stream, os_code_ref, os_code_mine, n_frames, label):
+    ref = oracle.OracleDecoder(os_version=os_code_ref, default_volume=255)
+    ref.load_stream(stream, channel=0, mixing_level=0x64)
+    golden = ref.next_samples(n_frames * 240)
+
+    mine = ReferenceDecoder()
+    mine.default_volume = 255
+    mine.init_standalone(os_code_mine)
+    mine.soft_boot()
+    mine.load_audio_stream(0, stream, mixing_level=0x64)
+    got = np.array(mine.next_samples(n_frames * 240), dtype=np.int16)
+
+    mism = np.nonzero(golden != got)[0]
+    assert mism.size == 0, (
+        f"{label}: {mism.size} PCM mismatches, first at sample {mism[0]} "
+        f"(frame {mism[0] // 240}) golden={golden[mism[0]]} got={got[mism[0]]}")
+    return golden
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_93b_fmt0_parity(seed):
+    _require_oracle()
+    s = build_stream93_fmt0(seed=seed)
+    g = _compare(s, oracle.OS93B, OS93B, 12, f"93b fmt0 seed{seed}")
+    if seed == 0:
+        assert np.abs(g).max() > 0, "all-silent fuzz stream (weak test)"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_93b_fmt1_parity(seed):
+    _require_oracle()
+    s = build_stream93_fmt1(seed=seed)
+    _compare(s, oracle.OS93B, OS93B, 12, f"93b fmt1 seed{seed}")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_93a_fmt0_parity(seed):
+    _require_oracle()
+    # OS93a decodes Type-0 streams with the common 93 handler
+    s = build_stream93_fmt0(seed=seed + 50)
+    _compare(s, oracle.OS93A, OS93A, 12, f"93a fmt0 seed{seed}")
+
+
+@pytest.mark.parametrize("seed,selector", [(0, 0), (1, 1), (2, 2), (3, 3)])
+def test_93a_type1_parity(seed, selector):
+    _require_oracle()
+    s = build_stream93a_type1(selector=selector, seed=seed)
+    _compare(s, oracle.OS93A, OS93A, 10, f"93a type1 sel{selector}")
