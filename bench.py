@@ -25,7 +25,8 @@ def main():
     import jax
     import numpy as np
 
-    from dcsexplorer_tpu.models import batched
+    from dcsexplorer_tpu.models import flatsweep
+    from dcsexplorer_tpu.ops import band_decode as bd
 
     streams = []
     for path in sorted(glob.glob(
@@ -38,8 +39,9 @@ def main():
     # replicate the stream set into a catalog-sized batch
     copies = int(os.environ.get("DCS_BENCH_COPIES", "24"))
     catalog = streams * copies
-    inputs = batched.SweepInputs(catalog)
-    args = inputs.args()
+    sweep_in = flatsweep.FlatSweep(catalog).pack()
+    args = list(sweep_in.args())
+    args[0] = bd.window_words(args[0])
 
     import jax.numpy as jnp
 
@@ -47,10 +49,10 @@ def main():
     # platform block_until_ready() does not reliably block, and fetching the
     # full PCM would time the (slow dev-tunnel) transfer, not the decode.
     def sweep(*a):
-        pcm = batched.batch_decode(*a)
+        pcm = flatsweep.flat_pipeline(*a)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    fn = jax.jit(sweep, static_argnums=(3, 4, 9))
+    fn = jax.jit(sweep, static_argnums=(10,))
     int(fn(*args))   # compile + warm-up (fetch forces execution)
 
     iters = int(os.environ.get("DCS_BENCH_ITERS", "5"))
@@ -59,8 +61,7 @@ def main():
         checksum = int(fn(*args))
     dt = (time.perf_counter() - t0) / iters
 
-    # only genuinely decoded frames count as audio produced
-    audio_samples = int(inputs.n_frames.sum()) * 240
+    audio_samples = sweep_in.audio_samples
     xrt = audio_samples / 31250.0 / dt
     print(json.dumps({
         "metric": "batched_decode_throughput",

@@ -1,0 +1,228 @@
+"""Flat-frame catalog sweep: the fastest decode path.
+
+Instead of a padded [streams, frames] batch (models/batched.py), all frames
+of all streams are packed into ONE flat frame axis:
+
+- stream bitstreams concatenate into a single byte pool; per-frame bit
+  offsets become global, so the scan's window gather addresses one buffer
+- no padding waste for heterogeneous stream lengths
+- the scan length is the catalog's maximum dense-slot count (bucketing frames
+  by dense count for per-bucket scan lengths is a further ~10-15% win on
+  typical material; not yet implemented)
+- format type/subtype become per-frame data, so mixed-format catalogs decode
+  in one program
+- overlap-add remains a pure shift along the flat axis, with the carry
+  zeroed at stream starts
+
+Bit-exactness is preserved throughout (validated against the scalar
+decoder / compiled reference in tests).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..format import tables as T
+from ..ops import band_decode as bd
+from ..ops import prescan
+from ..ops import transform as tf
+from ..refdec import decoder as rd
+
+_XLAT_TYPE = jnp.asarray(bd._XLAT_TYPE)
+_XLAT_ADJ = jnp.asarray(bd._XLAT_ADJ)
+_BAND_GROUP = jnp.asarray(bd._BAND_GROUP)
+_PREADJ = jnp.asarray(bd._PREADJ)
+_OUT_COUNT = jnp.asarray(bd._OUT_COUNT)
+_SCALE_MANT = jnp.asarray(bd._SCALE_MANT)
+_MAXW = jnp.asarray(bd._MAXW)
+_CB_BASE = jnp.asarray(bd._CB_BASE)
+
+
+def band_controls_dyn(header, fmt_type, sub_type, band_type, band_type_prev):
+    """Per-band controls with per-frame header/format (all [N, ...] arrays).
+
+    Same semantics as ops/band_decode.band_controls, but fmt_type [N] and
+    sub_type [N] are data, so one program serves mixed-format catalogs.
+    """
+    hdr = header
+    active = (hdr & 0x7F) != 0x7F
+    active = jnp.cumprod(active.astype(jnp.int32), axis=1).astype(bool)
+
+    cur_hdr = hdr & 0x7F
+    out_count = _OUT_COUNT.reshape(1, 16) * jnp.ones_like(band_type)
+    out_inc = jnp.where((cur_hdr & 0x40) != 0, 2, 1)
+    out_count = jnp.where(out_inc == 2, out_count // 2, out_count)
+
+    # type-1 path
+    group = _BAND_GROUP.reshape(1, 16)
+    padd = _PREADJ[jnp.where(sub_type != 0, 1, 0)]    # [N, 16]
+    pre = jnp.where(jnp.arange(16).reshape(1, 16) < 3,
+                    jnp.take_along_axis(padd, jnp.clip(band_type_prev, 0, 15),
+                                        axis=1), 0)
+    hdr_adj = cur_hdr + pre
+    bt = jnp.clip(band_type, 0, 15)
+    code1 = _XLAT_TYPE[group, bt]
+    scale_code1 = hdr_adj + _XLAT_ADJ[group, bt]
+
+    is1 = (fmt_type != 0)[:, None]
+    code = jnp.where(is1, code1, band_type)
+    scale_code = jnp.where(is1, scale_code1, cur_hdr)
+    code = jnp.where(band_type == 0, 0, code)
+
+    scale = _SCALE_MANT[scale_code & 3] >> (15 - ((scale_code >> 2) & 0xF))
+
+    has_data = active & (band_type != 0)
+    code = jnp.where(has_data, code, 0)
+    dense = jnp.where(has_data, out_count, 0)
+    advance = jnp.where(active & (band_type == 0), out_count,
+                        jnp.where(has_data, out_count * out_inc, 0))
+    return {"code": code, "scale": scale, "dense": dense,
+            "out_inc": out_inc * jnp.ones_like(band_type), "advance": advance}
+
+
+def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
+                band_type, band_type_prev, n_steps):
+    """Symbol-decode N frames against the global byte pool.
+
+    pool_words: [L] precomputed 24-bit window words; start_bit: [N] global
+    bit offsets; header/band_type/_prev: [N, 16]; fmt/sub: [N].
+    Returns (dense [N, 256], (scale, fb_idx, valid)).
+    """
+    ctl = band_controls_dyn(header, fmt_type, sub_type, band_type,
+                            band_type_prev)
+    packed, scale, fb_idx, valid = bd.slot_controls(ctl)
+    N = start_bit.shape[0]
+    cb_flat = jnp.asarray(bd._CB_FLAT)
+
+    def step(carry, packed_t):
+        cursor, skip = carry
+        ok = packed_t != 0
+        c = packed_t & 0x1F
+        mw = (packed_t >> bd._P_MAXW) & 0x1F
+        cb = (packed_t >> bd._P_CB) & 0x3FF
+        w24 = pool_words[cursor >> 3]
+        look = (w24 >> (24 - mw - (cursor & 7))) & ((1 << mw) - 1)
+        is_cb = c <= 6
+        entry = cb_flat[cb + look]
+        two_zero = is_cb & ((entry & 0x80) != 0)
+        sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
+        mw1 = jnp.maximum(mw, 1)
+        sample_raw = look - ((look >> (mw1 - 1)) << mw1)
+        consume = ok & ~skip
+        nbits = jnp.where(is_cb, entry >> 8, mw)
+        sample = jnp.where(is_cb, sample_cb, sample_raw) & 0xFFFF
+        sample = jnp.where(two_zero | skip | ~ok, 0, sample)
+        cursor = cursor + jnp.where(consume, nbits, 0)
+        new_skip = jnp.where(skip, False, consume & two_zero)
+        return (cursor, new_skip), sample
+
+    xs = jnp.transpose(packed[:, :n_steps])
+    _, vals = jax.lax.scan(step, (start_bit.astype(jnp.int32),
+                                  jnp.zeros(N, bool)), xs)
+    dense = jnp.transpose(vals)
+    if n_steps < 256:
+        dense = jnp.pad(dense, ((0, 0), (0, 256 - n_steps)))
+    return dense, (scale, fb_idx, valid)
+
+
+def flat_pipeline(pool_words, start_bit, header, fmt_type, sub_type,
+                  band_type, band_type_prev, mix, vol_shift, stream_start,
+                  n_steps):
+    """Full flat decode: symbols → dequant → transform → overlap resolve.
+
+    stream_start: [N] bool, True at each stream's first frame (overlap carry
+    resets there).  Returns pcm [N, 240] u16 storage.
+    """
+    dense, ctl = decode_flat(pool_words, start_bit, header, fmt_type,
+                             sub_type, band_type, band_type_prev, n_steps)
+    fb = bd.dequant_mix(dense, ctl, mix)
+    raw = tf.transform94_raw(fb, vol_shift)
+
+    heads = raw[:, tf._OVL_POS]
+    tails = raw[:, tf._SAVE]
+    carried = jnp.concatenate(
+        [jnp.zeros((1, 16), jnp.int32), tails[:-1]], axis=0)
+    carried = jnp.where(stream_start[:, None], 0, carried)
+    from ..ops.fixmath import overlap_mix
+    blended = overlap_mix(heads, carried,
+                          jnp.asarray(tf._OVL_NEW)[None, :],
+                          jnp.asarray(tf._OVL_OLD)[None, :])
+    fixed = raw.at[:, tf._OVL_POS].set(blended)
+    return fixed[:, tf._EXTRACT]
+
+
+class FlatSweep:
+    """Host-side packing of a whole catalog for the flat pipeline."""
+
+    def __init__(self, streams, mixing_level=0x64, master_volume=0x67):
+        idxs = [prescan.prescan94(s, 0) for s in streams]
+        offsets = []
+        pool = bytearray()
+        for s, i in zip(streams, idxs):
+            offsets.append(len(pool))
+            end = int(i.end_bit[-1] // 8) + 8 if i.n_frames else len(s)
+            pool += bytes(s[:end]) + b"\xff" * 8
+        pool += b"\xff" * 8
+        self.pool = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
+
+        rows = []
+        from .pipeline import ControlTracer
+        for k, (s, i) in enumerate(zip(streams, idxs)):
+            tr = ControlTracer()
+            tr.default_volume = master_volume
+            tr.init_standalone(rd.OS94)
+            tr.soft_boot()
+            tr.load_audio_stream(0, s, mixing_level=mixing_level)
+            tr.trace_frames(i.n_frames)
+            mixes = np.zeros(i.n_frames, dtype=np.int32)
+            for t, entries in enumerate(tr.trace_entries):
+                for (c, _, fidx, m) in entries:
+                    if c == 0 and fidx == t:
+                        mixes[t] = m
+            vols = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+            dt = prescan.dense_totals(i)
+            for f in range(i.n_frames):
+                rows.append((
+                    offsets[k] * 8 + int(i.start_bit[f]),
+                    i.header, int(i.fmt_type), int(i.sub_type),
+                    i.band_type[f], i.band_type_prev[f],
+                    int(mixes[f]), int(vols[f]), f == 0, int(dt[f]), k, f))
+
+        self.n_frames_total = len(rows)
+        self.audio_samples = self.n_frames_total * 240
+        self.rows = rows
+        self.dense_totals = np.array([r[9] for r in rows]) if rows else np.zeros(0, int)
+
+    def pack(self):
+        rows = self.rows
+        N = len(rows)
+        arr = lambda f, dt: np.asarray([f(r) for r in rows], dtype=dt)
+        self.start_bit = arr(lambda r: r[0], np.int32)
+        self.header = np.stack([r[1] for r in rows]).astype(np.int32)
+        self.fmt = arr(lambda r: r[2], np.int32)
+        self.sub = arr(lambda r: r[3], np.int32)
+        self.bt = np.stack([r[4] for r in rows]).astype(np.int32)
+        self.btp = np.stack([r[5] for r in rows]).astype(np.int32)
+        self.mix = arr(lambda r: r[6], np.int32)
+        self.vol = arr(lambda r: r[7], np.int32)
+        self.sstart = arr(lambda r: r[8], bool)
+        self.n_steps = int(min(256, (self.dense_totals.max() + 7) & ~7)) if N else 8
+        return self
+
+    def args(self):
+        return (jnp.asarray(self.pool), jnp.asarray(self.start_bit),
+                jnp.asarray(self.header), jnp.asarray(self.fmt),
+                jnp.asarray(self.sub), jnp.asarray(self.bt),
+                jnp.asarray(self.btp), jnp.asarray(self.mix),
+                jnp.asarray(self.vol), jnp.asarray(self.sstart),
+                self.n_steps)
+
+
+def run_flat(sweep: FlatSweep):
+    """Decode the whole packed catalog; returns int16 PCM [N*240]."""
+    args = list(sweep.args())
+    args[0] = bd.window_words(args[0])
+    fn = jax.jit(flat_pipeline, static_argnums=(10,))
+    pcm = np.asarray(fn(*args))
+    return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)

@@ -42,3 +42,21 @@ def test_batch_decode_bit_exact_vs_oracle():
         assert mism.size == 0, (
             f"stream {k}: {mism.size} mismatches, first at {mism[0]} "
             f"(frame {mism[0]//240})")
+
+
+def test_flat_sweep_bit_exact_vs_oracle():
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+    from dcsexplorer_tpu.models import flatsweep
+    streams = _asset_streams()
+    sw = flatsweep.FlatSweep(streams).pack()
+    pcm = flatsweep.run_flat(sw)
+    pos = 0
+    for k, s in enumerate(streams):
+        nf = (s[0] << 8) | s[1]
+        ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=0x67)
+        ref.load_stream(s, channel=0, mixing_level=0x64)
+        golden = ref.next_samples(nf * 240)
+        got = pcm[pos:pos + nf * 240]
+        assert np.array_equal(golden, got), f"flat sweep stream {k} mismatch"
+        pos += nf * 240
