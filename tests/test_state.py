@@ -1,0 +1,62 @@
+"""Checkpoint/resume: snapshot mid-playback, restore, bit-exact continuation."""
+
+import numpy as np
+
+from dcsexplorer_tpu.refdec import decoder as rd
+from dcsexplorer_tpu.rom import zipload
+from dcsexplorer_tpu.compiler import romgen
+from dcsexplorer_tpu.utils import state
+
+from .test_romgen import _make_spec
+
+
+def test_snapshot_resume_rom_session(tmp_path):
+    zip_bytes = romgen.RomBuilder(_make_spec()).build_zip()
+    rs, _ = zipload.load_zip_data(zip_bytes, zip_name="synth.zip")
+    rs.check()
+
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = 255
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    for b in (0x00, 0x01):
+        dec.write_data_port(b)
+    dec.next_samples(240 * 10)
+    for b in (0x00, 0x02):
+        dec.write_data_port(b)
+    dec.next_samples(240 * 5 + 77)     # stop mid-frame, mid-fade
+
+    path = tmp_path / "ckpt.pkl"
+    state.save(dec, str(path))
+    expected = np.array(dec.next_samples(240 * 40), dtype=np.int16)
+
+    dec2 = rd.ReferenceDecoder()
+    dec2.load_rom_set(rs)
+    state.load(dec2, str(path))
+    got = np.array(dec2.next_samples(240 * 40), dtype=np.int16)
+    assert np.array_equal(expected, got)
+    assert np.abs(expected).max() > 0
+
+
+def test_snapshot_resume_standalone(tmp_path):
+    import glob, os
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "streams")
+    stream = open(sorted(glob.glob(os.path.join(assets, "*.dcs94")))[0], "rb").read()
+
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = 255
+    dec.init_standalone(rd.OS94)
+    dec.soft_boot()
+    dec.load_audio_stream(0, stream, mixing_level=0x64)
+    dec.next_samples(240 * 7 + 13)
+
+    snap = state.snapshot(dec)
+    expected = np.array(dec.next_samples(240 * 20), dtype=np.int16)
+
+    dec2 = rd.ReferenceDecoder()
+    dec2.init_standalone(rd.OS94)
+    dec2.soft_boot()
+    state.restore(dec2, snap, stream_mems={0: stream})
+    got = np.array(dec2.next_samples(240 * 20), dtype=np.int16)
+    assert np.array_equal(expected, got)
