@@ -239,3 +239,159 @@ def overlap_resolve(raw, overlap0):
                           jnp.asarray(_OVL_OLD)[None, :])
     fixed = raw.at[:, _OVL_POS].set(blended)
     return fixed[:, _EXTRACT], tails[-1]
+
+
+# ----------------------------------------------------------------------
+# 1993 algorithm (batched)
+
+def _taylor_sqrt93(fb0, fb1):
+    """Vectorized magnitude fixup of element 0 (reference :633-704).
+
+    fb0, fb1: [B] u16 storage.  Returns the replacement value for slot 0.
+    """
+    from .fixmath import s16 as _s16
+
+    ar = _s16(fb0)
+    as_flag = ar < 0
+    ar = jnp.where(as_flag, -ar, ar) & M16
+
+    # mr = fb1² + ar² in the <<1 accumulator domain
+    p1 = s16(fb1) * s16(fb1)
+    p2 = s16(ar) * s16(ar)
+    mr = (p1 + p2) << 1
+
+    # normalize32 over the low 32 bits (mr is already int32-wrapped)
+    v = mr
+    neg = v < 0
+    x = jnp.where(neg, ~v, v)            # leading-zero count domain
+    # exponent = -(clz(x<<1)) clipped; compute clz via float trick-free loop
+    exp = jnp.zeros_like(v)
+    xx = v
+    for _ in range(31):
+        more = jnp.where(
+            xx < 0,
+            (xx & 0x40000000) != 0,
+            (exp > -31) & ((xx & 0x40000000) == 0))
+        exp = jnp.where(more, exp - 1, exp)
+        xx = jnp.where(more, xx << 1, xx)
+    mant = jnp.where(exp <= -32, 0,
+                     jnp.where(exp < 0, (v << (-exp)), v))
+    ar2 = (mant >> 16) & M16
+    exponent = exp
+
+    def mul_round(a, b):
+        prod = (s16(a) * s16(b)) << 1
+        res = prod + 0x8000
+        res = jnp.where((prod & M16) == 0x8000, res & ~0x10000, res)
+        return (res >> 16) & M16, res
+
+    # 5-term Taylor series in the accumulator
+    mr = jnp.full_like(v, 0x0D490000)
+    mr = mr + ((0x5D1D * s16(ar2)) << 1)
+    mf, _ = mul_round(ar2, ar2)
+    mr = mr + ((-22035 * s16(mf)) << 1)
+    mf, _ = mul_round(ar2, mf)
+    mr = mr + ((0x46D6 * s16(mf)) << 1)
+    mf, _ = mul_round(ar2, mf)
+    mr = mr + ((-8790 * s16(mf)) << 1)
+    mf, _ = mul_round(ar2, mf)
+    mr = mr + ((0x072D * s16(mf)) << 1)
+
+    odd = (exponent & 1) != 0
+    # MultiplyAndRound(MR1(mr), 0x5A82) replaces mr where exponent is odd
+    mr1v = (mr >> 16) & M16
+    prod = (s16(mr1v) * 0x5A82) << 1
+    res = prod + 0x8000
+    res = jnp.where((prod & M16) == 0x8000, res & ~0x10000, res)
+    mr = jnp.where(odd, res, mr)
+    exponent = jnp.where(odd, exponent + 1, exponent)
+
+    exponent = exponent // 2 + 1      # even values: trunc == floor
+    # BitShiftSigned32 of the low 32 bits of mr by `exponent`
+    low = mr.astype(jnp.int32)
+    shifted = jnp.where(exponent >= 0,
+                        (low << jnp.clip(exponent, 0, 31)),
+                        low >> jnp.clip(-exponent, 0, 31))
+    arf = (shifted >> 16) & M16
+    arf = jnp.where(as_flag, (-s16(arf)) & M16, arf)
+    # AR==0 skips the series and stores the (zero) normalized mantissa
+    return jnp.where(ar2 == 0, ar2, arf)
+
+
+# expansion pair index maps (reference :713-732)
+_E93_I0 = 2 + 2 * np.arange(64)
+_E93_I1 = 0xFE - 2 * np.arange(64)
+_E93_I2 = 0x102 + 2 * np.arange(64)
+_E93_I3 = 0x1FE - 2 * np.arange(64)
+
+# extraction sources: odd slots 1,3,..511 get fb[bitRev9[0..255]] >> volShift
+_BR93 = _BR[:256]
+
+
+def transform93_raw(fb, vol_shift):
+    """1993 inverse transform, batched; returns per-frame time words.
+
+    fb: [B, 512] u16 storage; vol_shift: [B].
+    Returns raw [B, 256]: time samples in natural order — outputs 0..239
+    then the 16-sample overlap tail (pre-blend), volume-shifted.
+    """
+    from .fixmath import s16 as _s16
+
+    B = fb.shape[0]
+
+    ar = _taylor_sqrt93(fb[:, 0], fb[:, 1])
+    fb = fb.at[:, 0x0000].set(ar).at[:, 0x0100].set(ar)
+    fb = fb.at[:, 0x0001].set(0).at[:, 0x0101].set(0)
+
+    # expand 256 → 512
+    xr, xi = s16(fb[:, _E93_I0]), s16(fb[:, _E93_I0 + 1])
+    yr, yi = s16(fb[:, _E93_I1]), s16(fb[:, _E93_I1 + 1])
+    fb = fb.at[:, _E93_I0].set((xr + yr) & M16)
+    fb = fb.at[:, _E93_I1].set((xr + yr) & M16)
+    fb = fb.at[:, _E93_I2].set((xr - yr) & M16)
+    fb = fb.at[:, _E93_I3].set((yr - xr) & M16)
+    fb = fb.at[:, _E93_I2 + 1].set((xi + yi) & M16)
+    fb = fb.at[:, _E93_I3 + 1].set((xi + yi) & M16)
+    fb = fb.at[:, _E93_I0 + 1].set((xi - yi) & M16)
+    fb = fb.at[:, _E93_I1 + 1].set((yi - xi) & M16)
+
+    # 7-iteration IFFT over 512 entries, unsaturated wrap arithmetic
+    core = fb
+    n_part, part = 2, 0x80
+    for _ in range(7):
+        v = core.reshape(B, n_part, 2, part)
+        u, a = v[:, :, 0, :], v[:, :, 1, :]
+        ap = a.reshape(B, n_part, part // 2, 2)
+        a_re, a_im = ap[..., 0], ap[..., 1]
+        c_cos = jnp.asarray(_COS[:n_part]).reshape(1, n_part, 1)
+        c_sin = jnp.asarray(_SIN[:n_part]).reshape(1, n_part, 1)
+        t_re, t_im = rotate_round(a_re, a_im, c_cos, c_sin)
+        up = u.reshape(B, n_part, part // 2, 2)
+        u_re, u_im = s16(up[..., 0]), s16(up[..., 1])
+        nu = jnp.stack([(u_re - t_re) & M16, (u_im - t_im) & M16], axis=-1)
+        na = jnp.stack([(t_re + u_re) & M16, (t_im + u_im) & M16], axis=-1)
+        core = jnp.stack([nu.reshape(B, n_part, part),
+                          na.reshape(B, n_part, part)], axis=2
+                         ).reshape(B, 512)
+        n_part *= 2
+        part //= 2
+
+    # volume shift + bit-reversed collection in natural time order
+    vs = vol_shift.reshape(B, 1)
+    time_nat = (s16(core[:, _BR93]) >> vs) & M16   # [B, 256] time order
+    return time_nat
+
+
+def overlap_resolve93(raw, overlap0):
+    """Overlap-add resolve for the 93 transform's natural-order output.
+
+    raw: [F, 256] (time order; last 16 are the carry-out tail);
+    overlap0: [16].  Returns (pcm [F, 240], final overlap [16]).
+    """
+    heads = raw[:, :16]
+    tails = raw[:, 240:]
+    carried = jnp.concatenate([overlap0[None, :], tails[:-1]], axis=0)
+    blended = overlap_mix(heads, carried,
+                          jnp.asarray(_OVL)[None, :],
+                          jnp.asarray(_OVL[::-1].copy())[None, :])
+    return jnp.concatenate([blended, raw[:, 16:240]], axis=1), tails[-1]

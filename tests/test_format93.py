@@ -225,3 +225,63 @@ def test_93a_type1_parity(seed, selector):
     _require_oracle()
     s = build_stream93a_type1(selector=selector, seed=seed)
     _compare(s, oracle.OS93A, OS93A, 10, f"93a type1 sel{selector}")
+
+
+def _device_decode93(stream, n_frames):
+    """Decode a 93 stream on the device pipeline (single voice)."""
+    import jax
+    import jax.numpy as jnp
+    from dcsexplorer_tpu.models.pipeline import ControlTracer
+    from dcsexplorer_tpu.ops import band_decode as bd
+    from dcsexplorer_tpu.ops import decode93, transform as tf
+
+    idx = decode93.prescan93(stream, 0)
+    tr = ControlTracer()
+    tr.default_volume = 255
+    tr.init_standalone(OS93B)
+    tr.soft_boot()
+    tr.load_audio_stream(0, stream, mixing_level=0x64)
+    tr.trace_frames(idx.n_frames)
+    mix = np.zeros(idx.n_frames, dtype=np.int32)
+    for t, entries in enumerate(tr.trace_entries):
+        for (c, _, fidx, m) in entries:
+            if c == 0 and fidx == t:
+                mix[t] = m
+    vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+
+    pool = np.frombuffer(bytes(stream) + b"\xff" * 8, dtype=np.uint8).astype(np.int32)
+    wwords = bd.window_words(jnp.asarray(pool))
+    arrays = decode93.index_arrays(idx)
+
+    def pipe(ww, arrs, mixv, volv):
+        fb = decode93.decode93_frames(ww, arrs, mixv)
+        raw = tf.transform93_raw(fb, volv)
+        pcm, _ = tf.overlap_resolve93(raw, jnp.zeros(16, jnp.int32))
+        return pcm
+
+    pcm = np.asarray(jax.jit(pipe)(wwords, arrays, jnp.asarray(mix),
+                                   jnp.asarray(vol)))
+    return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)[:n_frames * 240]
+
+
+@pytest.mark.parametrize("builder,seed", [
+    (build_stream93_fmt0, 7), (build_stream93_fmt0, 8),
+    (build_stream93_fmt1, 7), (build_stream93_fmt1, 8),
+])
+def test_93_device_pipeline_parity(builder, seed):
+    """Device 93 decode (prescan + scan-free kernel + batched transform)
+    must match the scalar decoder bit-exactly."""
+    s = builder(seed=seed)
+    n = 12
+    mine = ReferenceDecoder()
+    mine.default_volume = 255
+    mine.init_standalone(OS93B)
+    mine.soft_boot()
+    mine.load_audio_stream(0, s, mixing_level=0x64)
+    golden = np.array(mine.next_samples(n * 240), dtype=np.int16)
+
+    got = _device_decode93(s, n)
+    mism = np.nonzero(golden != got)[0]
+    assert mism.size == 0, (
+        f"{mism.size} mismatches, first at {mism[0]} (frame {mism[0]//240}): "
+        f"scalar={golden[mism[0]]} device={got[mism[0]]}")
