@@ -36,6 +36,9 @@ def build_parser():
                    help="extract streams: PREFIXaddr.wav + PREFIXaddr.dcs")
     p.add_argument("--autoplay", metavar="OUT.wav",
                    help="autoplay sweep of all tracks to one WAV")
+    p.add_argument("--dasm", metavar="RANGE", nargs="?", const="0:0x2000",
+                   help="disassemble U2 (RANGE as start:end word addrs, "
+                        "default 0:0x2000)")
     p.add_argument("--validate", action="store_true",
                    help="lockstep-validate the TPU pipeline against the "
                         "scalar reference decoder over an autoplay sweep")
@@ -153,6 +156,19 @@ def _decode_track(rs, track, vol, backend, max_frames):
     return np.array(out, dtype=np.int16)
 
 
+def cmd_dasm(rs, range_spec):
+    from ..rom import disasm
+    try:
+        start_s, end_s = range_spec.split(":")
+        start, end = int(start_s, 0), int(end_s, 0)
+    except ValueError:
+        print(f"error: bad --dasm range {range_spec!r}", file=sys.stderr)
+        return
+    data = bytes(rs.chips[0][start * 4:end * 4])
+    for line in disasm.disassemble_rom(data, start_addr=start):
+        print(line)
+
+
 def cmd_extract_tracks(rs, prefix, vol, backend, max_frames):
     from ..rom import tracks as rtracks
     from ..utils import audioio
@@ -265,6 +281,9 @@ def main(argv=None):
         did = True
     if args.ditables:
         cmd_ditables(rs)
+        did = True
+    if args.dasm:
+        cmd_dasm(rs, args.dasm)
         did = True
     if args.extract_tracks:
         cmd_extract_tracks(rs, args.extract_tracks, args.vol, args.backend,

@@ -27,6 +27,7 @@ def build(force=False):
         f"{REF}/DCSDecoder/DCSDecoder.cpp",
         f"{REF}/DCSDecoder/DCSDecoderNative.cpp",
         f"{REF}/DCSEncoder/DCSEncoder.cpp",
+        f"{REF}/DCSDecoder/adsp2100/2100dasm.cpp",
     ]
     c_srcs = [
         f"{REF}/libsamplerate/src/samplerate.c",

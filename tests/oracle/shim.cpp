@@ -211,3 +211,16 @@ int dcsref_encode(const int16_t* pcm, int nSamples, int sampleRate,
 }
 
 }  // extern "C"
+
+// ---- disassembler oracle ----
+extern unsigned adsp2100_dasm(char* buffer, unsigned long op);
+
+extern "C" int dcsref_dasm(unsigned op, char* buf, int cap) {
+    char tmp[512];
+    adsp2100_dasm(tmp, op);
+    int n = static_cast<int>(strlen(tmp));
+    if (n >= cap) n = cap - 1;
+    memcpy(buf, tmp, n);
+    buf[n] = 0;
+    return n;
+}
