@@ -36,6 +36,12 @@ def build_parser():
                    help="extract streams: PREFIXaddr.wav + PREFIXaddr.dcs")
     p.add_argument("--autoplay", metavar="OUT.wav",
                    help="autoplay sweep of all tracks to one WAV")
+    p.add_argument("--interactive", metavar="OUT.wav", nargs="?",
+                   const="session.wav",
+                   help="hex-command REPL: type track numbers (e.g. 0001) "
+                        "or vNN for volume; renders the session to OUT.wav")
+    p.add_argument("--seconds-per-command", type=float, default=2.0,
+                   help="audio rendered after each interactive command")
     p.add_argument("--dasm", metavar="RANGE", nargs="?", const="0:0x2000",
                    help="disassemble U2 (RANGE as start:end word addrs, "
                         "default 0:0x2000)")
@@ -217,6 +223,50 @@ def cmd_autoplay(rs, out_path, vol, backend, max_frames):
     print(f"autoplay -> {out_path} ({pcm.size/31250.0:.1f}s)")
 
 
+def cmd_interactive(rs, out_path, vol, secs_per_cmd):
+    """Hex-command REPL (counterpart of the reference's interactive mode,
+    DCSExplorer.cpp:1580-1621): each line is a 16-bit hex track command, or
+    'vNN' to set the master volume, or 'quit'.  The session's audio renders
+    to a WAV file."""
+    from ..refdec import decoder as rd
+    from ..utils.player import MemorySink
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = vol
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    sink = MemorySink()
+    n = int(secs_per_cmd * 31250)
+    print("dcsexplorer-tpu interactive: enter hex track (0001), vNN, quit")
+    for line in sys.stdin:
+        cmd = line.strip().lower()
+        if cmd in ("q", "quit", "exit"):
+            break
+        if not cmd:
+            continue
+        try:
+            if cmd.startswith("v"):
+                lvl = int(cmd[1:], 0)
+                for b in (0x55, 0xAA, lvl & 0xFF, (lvl & 0xFF) ^ 0xFF):
+                    dec.write_data_port(b)
+                print(f"volume {lvl}")
+            else:
+                track = int(cmd, 16)
+                dec.write_data_port((track >> 8) & 0xFF)
+                dec.write_data_port(track & 0xFF)
+                print(f"track ${track:04X}")
+        except ValueError:
+            print(f"? {cmd!r} (hex track number, vNN, or quit)")
+            continue
+        pcm = np.array(dec.next_samples(n), dtype=np.int16)
+        sink.write(pcm)
+        if dec.host.rx:
+            print("host bytes:", " ".join(f"{b:02X}" for b in dec.host.rx))
+            dec.host.rx.clear()
+    from ..utils import audioio
+    audioio.write_wav(out_path, sink.data())
+    print(f"session audio -> {out_path} ({sink.data().size / 31250.0:.1f}s)")
+
+
 def cmd_validate(rs, vol, max_frames):
     """Lockstep: TPU pipeline vs scalar reference over an autoplay sweep
     (mirrors the reference's --validate, DCSExplorer.cpp:1338-1566)."""
@@ -295,6 +345,10 @@ def main(argv=None):
     if args.autoplay:
         cmd_autoplay(rs, args.autoplay, args.vol, args.backend,
                      args.max_track_frames)
+        did = True
+    if args.interactive:
+        cmd_interactive(rs, args.interactive, args.vol,
+                        args.seconds_per_command)
         did = True
     rc = 0
     if args.validate:
