@@ -10,8 +10,10 @@ all supported) and produces a RomSpec for compiler/romgen.py:
   / Track $n channel c { Wait/Play/Stop/SetMixingLevel/WriteDataPort/
     Queue/SetVariable/StartDeferred/Loop/Nop }
 
-Patch mode (``replaces $addr``) requires a prototype ROM import, which is
-not implemented yet; using it reports a clear error.
+Patch mode: pass a prototype RomSpec (compiler.patch.load_prototype) — the
+script's ``Stream X replaces $addr`` re-encodes over an imported stream and
+``Track`` definitions supersede imported tracks; everything untouched
+regenerates byte-compatibly.
 """
 
 import datetime
@@ -97,13 +99,13 @@ def _parse_enc_params(ts, base):
 
 class ScriptCompiler:
     def __init__(self, text, filename="<script>", base_params=None,
-                 stream_dir="."):
+                 stream_dir=".", prototype=None):
         from ..encoder.encoder import CompressionParams
         self.log = ErrorLogger(filename)
         self.ts = TokenStream(tokenize(text, self.log), self.log)
         self.base_params = base_params or CompressionParams()
         self.stream_dir = stream_dir
-        self.spec = romgen.RomSpec(os_version=OS94)
+        self.spec = prototype if prototype is not None else romgen.RomSpec(os_version=OS94)
         self.stream_frames = {}       # name -> frame count
         self.vars = {}                # name -> id
         self.di_tables = {}           # name -> id
@@ -177,16 +179,28 @@ class ScriptCompiler:
     def _parse_stream(self):
         ts = self.ts
         name = ts.expect("sym", what="stream name")
+        replaces = None
         if ts.accept("sym", "replaces"):
-            addr = ts.next()
-            raise ScriptError(
-                f"{self.log.filename}({name.line}): 'replaces' requires patch "
-                "mode (prototype ROM import), which is not supported yet")
+            addr_tok = ts.expect("int", what="prototype stream address")
+            replaces = int(addr_tok.value) if addr_tok else None
         path = ts.expect("str", what="audio file name")
         params = _parse_enc_params(ts, self.base_params)
         if name and path:
             try:
                 self._add_stream(name.value, path.value, params)
+                if replaces is not None:
+                    from .patch import stream_name
+                    proto_name = stream_name(replaces)
+                    if proto_name in self.spec.streams:
+                        # the re-encoded stream supersedes the imported one:
+                        # point the imported name at the new bytes so every
+                        # prototype track playing it picks up the new audio
+                        self.spec.streams[proto_name] = self.spec.streams[name.value]
+                        self.stream_frames[proto_name] = self.stream_frames[name.value]
+                    else:
+                        self.log.error(
+                            name.line,
+                            f"no prototype stream at ${replaces:06X} to replace")
             except ScriptError as e:
                 self.log.error(name.line, str(e))
         ts.expect("punct", ";")
@@ -224,6 +238,9 @@ class ScriptCompiler:
             ts.resync()
             return
         track_no, channel = int(num.value), int(ch.value)
+        # a script track definition supersedes any imported prototype track
+        self.spec.tracks = [t for t in self.spec.tracks
+                            if t.number != track_no]
 
         if ts.accept("sym", "defer"):
             if ts.accept("sym", "indirect"):
@@ -446,10 +463,14 @@ class ScriptCompiler:
         return steps
 
 
-def compile_script(text, base_params=None, filename="<script>", stream_dir="."):
-    """Compile script text → (zip bytes, report string)."""
+def compile_script(text, base_params=None, filename="<script>", stream_dir=".",
+                   prototype=None):
+    """Compile script text → (zip bytes, report string).
+
+    prototype: a RomSpec from compiler.patch.load_prototype for --patch mode.
+    """
     sc = ScriptCompiler(text, filename=filename, base_params=base_params,
-                        stream_dir=stream_dir)
+                        stream_dir=stream_dir, prototype=prototype)
     spec = sc.parse()
     builder = romgen.RomBuilder(spec)
     zip_bytes = builder.build_zip()
@@ -462,8 +483,17 @@ def compile_script(text, base_params=None, filename="<script>", stream_dir="."):
     return zip_bytes, "\n".join(lines)
 
 
-def compile_script_file(path, base_params=None):
+def compile_script_file(path, base_params=None, prototype_zip=None):
     with open(path) as f:
         text = f.read()
+    prototype = None
+    if prototype_zip is not None:
+        from ..rom import zipload
+        from .patch import load_prototype
+        rs, _ = zipload.load_zip_file(prototype_zip)
+        if rs.check() != 1:
+            raise ScriptError(f"prototype ROM failed its checks: {prototype_zip}")
+        prototype = load_prototype(rs)
     return compile_script(text, base_params=base_params, filename=path,
-                          stream_dir=os.path.dirname(os.path.abspath(path)))
+                          stream_dir=os.path.dirname(os.path.abspath(path)),
+                          prototype=prototype)

@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("inputs", nargs="*", help="WAV or raw .dcs input files")
     p.add_argument("-o", "--output", help="output file (.dcs) or directory")
     p.add_argument("--script", help="compile a DCS script into a ROM zip")
+    p.add_argument("--patch", metavar="PROTO.zip",
+                   help="patch mode: import this prototype ROM, apply the "
+                        "script's changes, regenerate")
     p.add_argument("--bitrate", type=int, default=128000,
                    help="target bit rate (bits/s)")
     p.add_argument("--cutoff", type=float, default=0.97,
@@ -93,7 +96,8 @@ def main(argv=None):
         from ..compiler import script as cscript
         out = args.output or "romset.zip"
         try:
-            zip_bytes, report = cscript.compile_script_file(args.script, params)
+            zip_bytes, report = cscript.compile_script_file(
+                args.script, params, prototype_zip=args.patch)
         except cscript.ScriptError as e:
             print(f"script error: {e}", file=sys.stderr)
             return 1
