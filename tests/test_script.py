@@ -116,4 +116,6 @@ def test_script_errors():
 
     with pytest.raises(cscript.ScriptError) as e:
         cscript.compile_script('Stream X replaces $2010CA "a.ogg";')
-    assert "patch" in str(e.value)
+    # without a prototype import the file lookup (or the missing prototype
+    # stream) must produce a clear error
+    assert "not found" in str(e.value) or "prototype" in str(e.value)
