@@ -16,3 +16,20 @@ static inline int fopen_s(FILE** fp, const char* name, const char* mode) {
     *fp = fopen(name, mode); return *fp ? 0 : 1;
 }
 #endif
+
+#ifndef INLINE
+#define INLINE static inline
+#endif
+
+#ifndef _countof
+#define _countof(a) (sizeof(a)/sizeof((a)[0]))
+#endif
+
+#ifdef __cplusplus
+#include <cstdio>
+#include <cstddef>
+template <std::size_t N>
+static inline int strcpy_s(char (&dst)[N], const char* src) {
+    return std::snprintf(dst, N, "%s", src) < 0 ? 1 : 0;
+}
+#endif

@@ -121,3 +121,68 @@ def encode(pcm, sample_rate=31250, fmt_type=1, fmt_subtype=3,
     if n < 0:
         raise RuntimeError(f"reference encoder failed: {n}")
     return bytes(out[:n].tobytes()), n_frames.value
+
+
+class OracleCpu:
+    """ctypes wrapper for the reference ADSP-21xx interpreter.
+
+    Exposes full register-file set/get (125-entry u64 vector, layout
+    mirrored by dcsexplorer_tpu.emu.adsp2105.ADSP2105.state_vec) plus
+    PM/DM memory and the PM($3000) data-port, for per-instruction
+    differential testing of the framework's CPU core.
+    """
+
+    STATE_LEN = 125
+
+    def __init__(self):
+        lib = get_lib()
+        lib.dcsref_cpu_step.restype = C.c_int
+        lib.dcsref_cpu_get_port_out.restype = C.c_uint
+        lib.dcsref_cpu_get_port_writes.restype = C.c_int
+        self._lib = lib
+        lib.dcsref_cpu_init()
+
+    def reset(self):
+        self._lib.dcsref_cpu_reset()
+
+    def set_state(self, vec):
+        arr = (C.c_uint64 * self.STATE_LEN)(*[v & (2**64 - 1) for v in vec])
+        self._lib.dcsref_cpu_set_state(arr)
+
+    def get_state(self):
+        arr = (C.c_uint64 * self.STATE_LEN)()
+        self._lib.dcsref_cpu_get_state(arr)
+        return list(arr)
+
+    def step(self, cycles=1):
+        return self._lib.dcsref_cpu_step(cycles)
+
+    def invoke_irq(self, which=2, indx=0, cycles=1 << 30):
+        self._lib.dcsref_cpu_invoke_irq(which, indx, cycles)
+
+    def set_pm(self, words, start=0):
+        arr = (C.c_uint32 * len(words))(*[w & 0xFFFFFF for w in words])
+        self._lib.dcsref_cpu_set_pm(arr, start, len(words))
+
+    def get_pm(self, start=0, n=0x4000):
+        arr = (C.c_uint32 * n)()
+        self._lib.dcsref_cpu_get_pm(arr, start, n)
+        return list(arr)
+
+    def set_dm(self, words, start=0):
+        arr = (C.c_uint16 * len(words))(*[w & 0xFFFF for w in words])
+        self._lib.dcsref_cpu_set_dm(arr, start, len(words))
+
+    def get_dm(self, start=0, n=0x4000):
+        arr = (C.c_uint16 * n)()
+        self._lib.dcsref_cpu_get_dm(arr, start, n)
+        return list(arr)
+
+    def set_port(self, v):
+        self._lib.dcsref_cpu_set_port(v & 0xFFFF)
+
+    def port_out(self):
+        return self._lib.dcsref_cpu_get_port_out()
+
+    def port_writes(self):
+        return self._lib.dcsref_cpu_get_port_writes()

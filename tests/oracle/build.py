@@ -28,6 +28,7 @@ def build(force=False):
         f"{REF}/DCSDecoder/DCSDecoderNative.cpp",
         f"{REF}/DCSEncoder/DCSEncoder.cpp",
         f"{REF}/DCSDecoder/adsp2100/2100dasm.cpp",
+        f"{REF}/DCSDecoder/adsp2100/adsp2100.cpp",
     ]
     c_srcs = [
         f"{REF}/libsamplerate/src/samplerate.c",
@@ -56,6 +57,7 @@ def build(force=False):
             obj = os.path.join(BUILD_DIR, os.path.basename(src) + ".o")
             subprocess.run(
                 ["g++", "-O2", "-fPIC", "-std=c++17", "-w", "-c",
+                 "-DLSB_FIRST", "-DHAS_ADSP2101=1", "-DHAS_ADSP2105=1",
                  "-include", f"{inc}/msvc_compat.h", *incflags, src, "-o", obj],
                 check=True, capture_output=True, text=True)
             objs.append(obj)

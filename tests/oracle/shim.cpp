@@ -224,3 +224,149 @@ extern "C" int dcsref_dasm(unsigned op, char* buf, int cap) {
     buf[n] = 0;
     return n;
 }
+
+// ---- ADSP-21xx CPU core oracle ----------------------------------------
+// Differential-test access to the reference interpreter: set the full
+// register file + memories, single-step, read everything back.
+
+#include "adsp2100/adsp2100.h"
+
+static uint32_t g_pm[0x4000];
+static uint16_t g_dm[0x4000];
+static uint32_t g_port_in = 0;      // value read at PM($3000)
+static uint32_t g_port_out = 0;     // last value written to PM($3000)
+static int g_port_writes = 0;
+
+uint32_t* adsp2100_op_rom = g_pm;
+uint32_t adsp2100_host_read_dm(uint32_t addr) {
+    return g_dm[addr & 0x3fff];
+}
+void adsp2100_host_write_dm(uint32_t addr, uint32_t data) {
+    g_dm[addr & 0x3fff] = (uint16_t)data;
+}
+uint32_t adsp2100_host_read_pm(uint32_t addr) {
+    return g_port_in;
+}
+void adsp2100_host_write_pm(uint32_t addr, uint32_t data) {
+    g_port_out = data;
+    ++g_port_writes;
+}
+
+static uint16_t cpu_lmask(uint32_t l) {
+    l &= 0x3fff;
+    if (l > 0x2000) return 0x0000;
+    uint16_t m = 0x3fff;
+    uint32_t size = 1;
+    while (size < l) { size <<= 1; m = (m << 1) & 0x3fff; }
+    return m;
+}
+
+static void core_to_vec(const ADSPCORE& c, uint64_t* v) {
+    v[0] = c.ax0.u; v[1] = c.ax1.u; v[2] = c.ay0.u; v[3] = c.ay1.u;
+    v[4] = c.ar.u;  v[5] = c.af.u;  v[6] = c.mx0.u; v[7] = c.mx1.u;
+    v[8] = c.my0.u; v[9] = c.my1.u; v[10] = c.mr.mr; v[11] = c.mf.u;
+    v[12] = c.si.u; v[13] = c.se.u; v[14] = c.sb.u; v[15] = c.sr.sr;
+}
+
+static void vec_to_core(ADSPCORE& c, const uint64_t* v) {
+    c.ax0.u = (uint16_t)v[0]; c.ax1.u = (uint16_t)v[1];
+    c.ay0.u = (uint16_t)v[2]; c.ay1.u = (uint16_t)v[3];
+    c.ar.u = (uint16_t)v[4];  c.af.u = (uint16_t)v[5];
+    c.mx0.u = (uint16_t)v[6]; c.mx1.u = (uint16_t)v[7];
+    c.my0.u = (uint16_t)v[8]; c.my1.u = (uint16_t)v[9];
+    c.mr.mr = v[10];          c.mf.u = (uint16_t)v[11];
+    c.si.u = (uint16_t)v[12]; c.se.u = (uint16_t)v[13];
+    c.sb.u = (uint16_t)v[14]; c.sr.sr = (uint32_t)v[15];
+    c.zero.u = 0;
+}
+
+extern "C" {
+
+void dcsref_cpu_init() {
+    adsp2105_init();
+    adsp2105_reset(nullptr);
+}
+
+void dcsref_cpu_reset() { adsp2105_reset(nullptr); }
+
+void dcsref_cpu_get_state(uint64_t* v) {
+    adsp2100_Regs& r = adsp2100_get_regs();
+    core_to_vec(r.core, v);
+    core_to_vec(r.alt, v + 16);
+    for (int k = 0; k < 8; ++k) v[32 + k] = r.i[k];
+    for (int k = 0; k < 8; ++k) v[40 + k] = (uint32_t)r.m[k];
+    for (int k = 0; k < 8; ++k) v[48 + k] = r.l[k];
+    v[56] = r.px; v[57] = r.pc; v[58] = r.ppc; v[59] = r.loop;
+    v[60] = r.loop_condition; v[61] = r.cntr; v[62] = r.astat;
+    v[63] = r.sstat; v[64] = r.mstat; v[65] = r.astat_clear & 0xff;
+    v[66] = r.idle;
+    for (int k = 0; k < 4; ++k) v[67 + k] = r.loop_stack[k];
+    for (int k = 0; k < 4; ++k) v[71 + k] = r.cntr_stack[k];
+    for (int k = 0; k < 16; ++k) v[75 + k] = r.pc_stack[k];
+    for (int k = 0; k < 4; ++k)
+        for (int j = 0; j < 3; ++j) v[91 + 3 * k + j] = r.stat_stack[k][j];
+    v[103] = (uint32_t)r.pc_sp; v[104] = (uint32_t)r.cntr_sp;
+    v[105] = (uint32_t)r.stat_sp; v[106] = (uint32_t)r.loop_sp;
+    v[107] = r.flagout; v[108] = r.flagin;
+    v[109] = r.fl0; v[110] = r.fl1; v[111] = r.fl2;
+    v[112] = r.imask; v[113] = r.icntl; v[114] = r.ifc;
+    for (int k = 0; k < 5; ++k) v[115 + k] = r.irq_latch[k];
+    for (int k = 0; k < 5; ++k) v[120 + k] = r.irq_state[k];
+}
+
+void dcsref_cpu_set_state(const uint64_t* v) {
+    adsp2100_Regs& r = adsp2100_get_regs();
+    vec_to_core(r.core, v);
+    vec_to_core(r.alt, v + 16);
+    for (int k = 0; k < 8; ++k) r.i[k] = (uint32_t)v[32 + k] & 0x3fff;
+    for (int k = 0; k < 8; ++k) r.m[k] = (int32_t)(uint32_t)v[40 + k];
+    for (int k = 0; k < 8; ++k) {
+        r.l[k] = (uint32_t)v[48 + k] & 0x3fff;
+        r.lmask[k] = cpu_lmask(r.l[k]);
+        r.base[k] = r.i[k] & r.lmask[k];
+    }
+    r.px = (uint8_t)v[56]; r.pc = (uint32_t)v[57]; r.ppc = (uint32_t)v[58];
+    r.loop = (uint32_t)v[59]; r.loop_condition = (uint32_t)v[60];
+    r.cntr = (uint32_t)v[61]; r.astat = (uint32_t)v[62];
+    r.sstat = (uint32_t)v[63]; r.mstat = (uint32_t)v[64];
+    r.astat_clear = (uint32_t)v[65]; r.idle = (uint32_t)v[66];
+    for (int k = 0; k < 4; ++k) r.loop_stack[k] = (uint32_t)v[67 + k];
+    for (int k = 0; k < 4; ++k) r.cntr_stack[k] = (uint32_t)v[71 + k];
+    for (int k = 0; k < 16; ++k) r.pc_stack[k] = (uint32_t)v[75 + k];
+    for (int k = 0; k < 4; ++k)
+        for (int j = 0; j < 3; ++j)
+            r.stat_stack[k][j] = (uint8_t)v[91 + 3 * k + j];
+    r.pc_sp = (int32_t)v[103]; r.cntr_sp = (int32_t)v[104];
+    r.stat_sp = (int32_t)v[105]; r.loop_sp = (int32_t)v[106];
+    r.flagout = (uint8_t)v[107]; r.flagin = (uint8_t)v[108];
+    r.fl0 = (uint8_t)v[109]; r.fl1 = (uint8_t)v[110]; r.fl2 = (uint8_t)v[111];
+    r.imask = (uint8_t)v[112]; r.icntl = (uint8_t)v[113];
+    r.ifc = (uint16_t)v[114];
+    for (int k = 0; k < 5; ++k) r.irq_latch[k] = (uint8_t)v[115 + k];
+    for (int k = 0; k < 5; ++k) r.irq_state[k] = (uint8_t)v[120 + k];
+    r.interrupt_cycles = 0;
+}
+
+int dcsref_cpu_step(int cycles) { return adsp2105_execute(cycles); }
+
+void dcsref_cpu_invoke_irq(int which, int indx, int cycles) {
+    adsp2100_host_invoke_irq(which, indx, cycles);
+}
+
+void dcsref_cpu_set_pm(const uint32_t* w, int start, int n) {
+    for (int k = 0; k < n; ++k) g_pm[(start + k) & 0x3fff] = w[k] & 0xffffff;
+}
+void dcsref_cpu_get_pm(uint32_t* w, int start, int n) {
+    for (int k = 0; k < n; ++k) w[k] = g_pm[(start + k) & 0x3fff];
+}
+void dcsref_cpu_set_dm(const uint16_t* w, int start, int n) {
+    for (int k = 0; k < n; ++k) g_dm[(start + k) & 0x3fff] = w[k];
+}
+void dcsref_cpu_get_dm(uint16_t* w, int start, int n) {
+    for (int k = 0; k < n; ++k) w[k] = g_dm[(start + k) & 0x3fff];
+}
+void dcsref_cpu_set_port(uint32_t v) { g_port_in = v; }
+uint32_t dcsref_cpu_get_port_out() { return g_port_out; }
+int dcsref_cpu_get_port_writes() { return g_port_writes; }
+
+}  // extern "C"
