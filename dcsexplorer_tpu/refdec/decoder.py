@@ -219,8 +219,10 @@ class ReferenceDecoder:
     def soft_boot(self):
         self.host.boot_timer_control(False)
         self.mode_sample_counter = 30000
-        self._initialize()
-        self.state = ST_RUNNING
+        ok = self._initialize()
+        # backends may return False to flag an unusable ROM
+        # (reference: DCSDecoder.cpp:1536-1539)
+        self.state = ST_RUNNING if ok is not False else ST_INIT_ERROR
 
     def _initialize(self):
         # select the frame decoder implementation family

@@ -60,6 +60,28 @@ def _parse_pattern(pattern):
     return ops, varspecs
 
 
+def search_opcodes_words(pattern, words, start=0):
+    """Search a 24-bit opcode word array (e.g. emulator PM space).
+
+    Mirrors the reference's PM-space SearchForOpcodes
+    (DCSDecoderEmu.cpp:593-597).  Returns (word_index, vars) or (-1, None).
+    """
+    ops, varspecs = _parse_pattern(pattern)
+    n = len(words)
+    for addr in range(start, n - len(ops) + 1):
+        matched = True
+        for j, (op, mask) in enumerate(ops):
+            if (words[addr + j] & mask) != op:
+                matched = False
+                break
+        if matched:
+            out = {}
+            for (name, ofs, shift, mask) in varspecs:
+                out[name] = (words[addr + ofs] >> shift) & mask
+            return addr, out
+    return -1, None
+
+
 def search_opcodes(pattern, rom_data, start=0):
     """Search raw ROM bytes for the opcode pattern.
 

@@ -48,8 +48,11 @@ def build_parser():
     p.add_argument("--validate", action="store_true",
                    help="lockstep-validate the TPU pipeline against the "
                         "scalar reference decoder over an autoplay sweep")
-    p.add_argument("--backend", choices=("tpu", "scalar"), default="tpu",
-                   help="decode backend for extraction/autoplay")
+    p.add_argument("--backend", choices=("tpu", "scalar", "emulator"),
+                   default="tpu",
+                   help="decode backend for extraction/autoplay (the "
+                        "emulator runs original ROM firmware on the "
+                        "ADSP-2105 interpreter)")
     p.add_argument("--vol", type=int, default=0x67, help="master volume 0-255")
     p.add_argument("--platform", choices=("default", "cpu"), default="default",
                    help="JAX platform override (cpu = host execution)")
@@ -150,10 +153,17 @@ def _decode_track(rs, track, vol, backend, max_frames):
     if backend == "tpu":
         pcm, _ = romplay.play_session(rs, events, n, default_volume=vol)
         return pcm
-    dec = rd.ReferenceDecoder()
+    if backend == "emulator":
+        from ..emu.board import EmulatedDecoder
+        dec = EmulatedDecoder()
+    else:
+        dec = rd.ReferenceDecoder()
     dec.default_volume = vol
     dec.load_rom_set(rs)
     dec.soft_boot()
+    if dec.state != rd.ST_RUNNING:
+        print(f"decoder init failed: {getattr(dec, 'error_message', None)}",
+              file=sys.stderr)
     out = []
     for f in range(n):
         if f in events:
