@@ -264,11 +264,14 @@ class RomBuilder:
 
         return [bytes(ch.data) for ch in self.chips]
 
-    def build_zip(self):
-        """Build the ROM images and pack them as a PinMame-style zip."""
+    def build_zip(self, rom_prefix="sound_"):
+        """Build the ROM images and pack them as a PinMame-style zip.
+
+        rom_prefix names the zip entries "<prefix>u<N>.rom" (counterpart of
+        the reference's --rom-prefix option, DCSEncoder/Main.cpp:100-103)."""
         images = self.build()
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
             for i, img in enumerate(images):
-                zf.writestr(f"sound_u{i + 2}.rom", img)
+                zf.writestr(f"{rom_prefix}u{i + 2}.rom", img)
         return buf.getvalue()

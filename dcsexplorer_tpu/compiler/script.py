@@ -90,7 +90,7 @@ def _parse_enc_params(ts, base):
         elif key == "maxerror":
             p.maximum_quantization_error = num() / 32768.0 if num() >= 1 else num()
         elif key == "minrange":
-            pass  # accepted for compatibility; not used by this encoder
+            p.minimum_dynamic_range = num() / 32768.0 if num() >= 1 else num()
         else:
             ts.log.warning(name.line, f"unknown encoding parameter '{name.text}'")
         ts.accept("punct", ",")
@@ -464,16 +464,20 @@ class ScriptCompiler:
 
 
 def compile_script(text, base_params=None, filename="<script>", stream_dir=".",
-                   prototype=None):
+                   prototype=None, chip_size=None, rom_prefix="sound_"):
     """Compile script text → (zip bytes, report string).
 
     prototype: a RomSpec from compiler.patch.load_prototype for --patch mode.
+    chip_size: per-chip ROM size in bytes (512K/1M, reference --rom-size).
+    rom_prefix: zip entry prefix (reference --rom-prefix).
     """
     sc = ScriptCompiler(text, filename=filename, base_params=base_params,
                         stream_dir=stream_dir, prototype=prototype)
     spec = sc.parse()
+    if chip_size:
+        spec.chip_size = chip_size
     builder = romgen.RomBuilder(spec)
-    zip_bytes = builder.build_zip()
+    zip_bytes = builder.build_zip(rom_prefix=rom_prefix)
     lines = ["ROM layout:"]
     for ch in builder.chips:
         pct = 100.0 * ch.cursor / ch.size
@@ -483,7 +487,8 @@ def compile_script(text, base_params=None, filename="<script>", stream_dir=".",
     return zip_bytes, "\n".join(lines)
 
 
-def compile_script_file(path, base_params=None, prototype_zip=None):
+def compile_script_file(path, base_params=None, prototype_zip=None,
+                        stream_dir=None, chip_size=None, rom_prefix="sound_"):
     with open(path) as f:
         text = f.read()
     prototype = None
@@ -495,5 +500,7 @@ def compile_script_file(path, base_params=None, prototype_zip=None):
             raise ScriptError(f"prototype ROM failed its checks: {prototype_zip}")
         prototype = load_prototype(rs)
     return compile_script(text, base_params=base_params, filename=path,
-                          stream_dir=os.path.dirname(os.path.abspath(path)),
-                          prototype=prototype)
+                          stream_dir=stream_dir or
+                          os.path.dirname(os.path.abspath(path)),
+                          prototype=prototype, chip_size=chip_size,
+                          rom_prefix=rom_prefix)

@@ -8,10 +8,13 @@ Huffman-coded) → codebook/raw bit packing.
 
 Capability parity with the reference encoder (DCSEncoder/DCSEncoder.h:44-253):
 OpenStream/WriteStream/CloseStream-style API, CompressionParams (target bit
-rate, power band cutoff, max quantization error, format type/subtype search),
-WAV input, resampling to 31,250 Hz.  The emitted streams are Type 0 (fixed
-per-band scale codes) — decodable by this framework AND the reference
-decoder, verified by round-trip tests.
+rate, power band cutoff, dynamic-range floor, max quantization error), WAV
+input, resampling to 31,250 Hz, and the full stream-format search — both
+major types (0 = direct bit widths, 1 = per-band translation tables with
+scale-code pre-adjustments) × both subtypes (0/3), keeping the smallest
+encoding (reference: DCSEncoder.cpp:784-853).  Every emitted format decodes
+bit-exactly in this framework's scalar and TPU decoders AND in the compiled
+reference decoder (tests/test_encoder.py).
 """
 
 from dataclasses import dataclass
@@ -36,10 +39,11 @@ _SCALE_MANT = np.asarray(T.SCALE_MANTISSA)
 @dataclass
 class CompressionParams:
     """Quality knobs (reference: DCSEncoder.h:70-181)."""
-    stream_format_type: int = 0       # 0 supported natively; -1 = auto (=0)
-    stream_format_subtype: int = 0
+    stream_format_type: int = -1      # 0/1, or -1 = try both, keep smallest
+    stream_format_subtype: int = -1   # 0/3, or -1 = try both, keep smallest
     power_band_cutoff: float = 0.97   # fraction of RMS power to keep
     target_bit_rate: int = 128000
+    minimum_dynamic_range: float = 10.0 / 32768.0
     maximum_quantization_error: float = 10.0 / 32768.0
 
 
@@ -129,10 +133,75 @@ def _scale_code_for(limit):
     return best
 
 
-def encode_frames(coefs, params: CompressionParams):
-    """Quantize + pack analysis coefficients into a DCS Type-0 stream.
+# the decoder's scale-factor rule: factor(code) = mantissa[code&3] >>
+# (15 - ((code>>2) & 0xF)); using it directly (wrap semantics included)
+# guarantees the encoder and decoder always agree on the factor
+def _scale_factor(code):
+    return int(_SCALE_MANT[code & 3]) >> (15 - ((code >> 2) & 0xF))
 
-    coefs: [F, 255] float (±32768 domain).  Returns stream bytes.
+
+_SCALE64 = [_scale_factor(j) for j in range(64)]
+
+# fixed psychoacoustic bit-allocation curve (reference: DCSEncoder.cpp:884)
+_BAND_SHARE = [16, 14, 12, 10, 9, 8, 6, 5, 4, 4, 3, 3, 3, 3, 2, 2]
+
+_XLATS = [np.asarray(T.XLAT02), np.asarray(T.XLAT35), np.asarray(T.XLAT6F)]
+
+
+def _xlat_for(band):
+    return _XLATS[0 if band < 3 else 1 if band < 6 else 2]
+
+
+def _band_coding(band, code, fmt_type, hdr_scale, preadj):
+    """Interpret a band-type code → (bit_width, effective scale code).
+
+    Type 0: the code IS the bit width; the header scale applies directly.
+    Type 1: the code indexes a per-band-group table giving the width and a
+    scale-code adjustment; bands 0-2 add a pre-adjustment derived from the
+    previous frame's code (reference: DCSEncoder.cpp:1840-1925).
+    """
+    if code == 0:
+        return 0, 0
+    if fmt_type == 0:
+        return code, hdr_scale
+    row = _xlat_for(band)[code]
+    width = int(row[0])
+    adj = int(row[1]) + (preadj if band < 3 else 0)
+    return width, hdr_scale + adj
+
+
+def _band_err_tables(coefs_band, band, fmt_type, hdr_scale, preadj_values):
+    """Round-trip squared-error per (frame, code[, preadj]) for one band.
+
+    Mirrors the reference's FindBestBandEncoding round trip
+    (DCSEncoder.cpp:1502-1572): quantize by the code's scale factor, bias to
+    the width's midpoint, wrap by the width mask, reconstruct, accumulate
+    squared error.  Returns err[F, 16, P] and width[16] arrays.
+    """
+    F = coefs_band.shape[0]
+    P = len(preadj_values)
+    err = np.zeros((F, 16, P))
+    width = np.zeros((16, P), dtype=np.int32)
+    for c in range(1, 16):
+        for pi, p in enumerate(preadj_values):
+            w, sc = _band_coding(band, c, fmt_type, hdr_scale, p)
+            width[c, pi] = w
+            if w == 0:
+                err[:, c, pi] = np.sum(coefs_band ** 2, axis=1)
+                continue
+            scale = float(max(_scale_factor(sc), 1))
+            ref = 1 << (w - 1)
+            mask = (1 << w) - 1
+            stored = (np.round(coefs_band / scale).astype(np.int64) + ref) \
+                & mask
+            recon = (stored - ref) * scale
+            err[:, c, pi] = np.sum((recon - coefs_band) ** 2, axis=1)
+    return err, width
+
+
+def _encode_stream(coefs, fmt_type, sub_type, params: CompressionParams):
+    """Quantize + pack analysis coefficients into one specific stream
+    format.  coefs: [F, 255] float (±32768 domain).  Returns stream bytes.
     """
     F = coefs.shape[0]
 
@@ -152,120 +221,122 @@ def encode_frames(coefs, params: CompressionParams):
             bands_keep = int(over[0])
     bands_keep = max(1, min(16, bands_keep))
 
-    # --- per-band scale selection from amplitude + rate target
-    # bits/sample budget from the target rate, shaped to give low bands more
-    nominal_bits = params.target_bit_rate / (RATE / FRAME) / 255.0
-    share = np.array([1.6, 1.5, 1.3, 1.2, 1.1, 1.0, 1.0, 0.95, 0.9, 0.9,
-                      0.85, 0.85, 0.8, 0.8, 0.75, 0.7])
-    widths = np.clip(np.round(nominal_bits * share), 2, 12).astype(int)
-
-    amax = np.zeros(16)
-    for b in range(16):
-        s, n = BAND_START[b], BAND_SIZES[b]
-        amax[b] = np.abs(coefs[:, s:s + n]).max() if b < bands_keep else 0.0
-
-    scale_code = np.zeros(16, dtype=int)
-    scale_factor = np.ones(16)
-    max_err_abs = params.maximum_quantization_error * 32768.0
+    # --- per-band header scale codes from the bit-rate allocation
+    # (reference: DCSEncoder.cpp:876-956)
+    bits_per_frame = params.target_bit_rate / (RATE / FRAME)
+    share_norm = sum(_BAND_SHARE[b] * int(BAND_SIZES[b])
+                     for b in range(bands_keep))
+    hdr_scale = [0] * 16
     for b in range(bands_keep):
-        if amax[b] < 1.0:
-            scale_code[b], scale_factor[b] = 0, 1.0
-            continue
-        w = int(widths[b])
-        # quantization step = scale factor; honor the max-error parameter by
-        # capping the step, widening the width if needed (≤ 15)
-        qmax = (1 << (w - 1)) - 1
-        step = amax[b] / qmax
-        while step > 2 * max_err_abs and w < 15:
-            w += 1
-            qmax = (1 << (w - 1)) - 1
-            step = amax[b] / qmax
-        sf, code = _scale_code_for(int(np.ceil(step)))
-        scale_code[b] = code
-        scale_factor[b] = sf
-
-    # --- quantize (values must also respect each chosen width's range)
-    q = np.zeros((F, 255), dtype=np.int32)
-    for b in range(bands_keep):
+        bits_b = int(_BAND_SHARE[b] / share_norm * bits_per_frame)
         s, n = BAND_START[b], BAND_SIZES[b]
-        qb = np.round(coefs[:, s:s + n] / scale_factor[b]).astype(np.int32)
-        q[:, s:s + n] = qb
-
-    # --- per-frame band type codes: bit width needed (0 = silent band).
-    # capped at 14 because the delta tree encodes steps of -16..+14, so a
-    # 0→15 transition would be unrepresentable in one frame
-    band_type = np.zeros((F, 16), dtype=np.int32)
-    for b in range(bands_keep):
-        s, n = BAND_START[b], BAND_SIZES[b]
-        np.clip(q[:, s:s + n], -(1 << 13), (1 << 13) - 1, out=q[:, s:s + n])
-        mn = q[:, s:s + n].min(axis=1)
-        mx = q[:, s:s + n].max(axis=1)
-        w = np.zeros(F, dtype=np.int32)
-        for wi in range(1, 15):
-            lo_, hi_ = -(1 << (wi - 1)), (1 << (wi - 1)) - 1
-            ok = (mn >= lo_) & (mx <= hi_)
-            w = np.where((w == 0) & ok, wi, w)
-        silent = (mn == 0) & (mx == 0)
-        band_type[:, b] = np.where(silent, 0, np.maximum(w, 1))
-
-    # band-type deltas must stay within the Huffman tree's range; a clamped
-    # (lowered) type narrows the representable sample range, so re-clip q
-    lo, hi = DELTA_RANGE
-    prev = np.zeros(16, dtype=np.int32)
-    for f in range(F):
-        d = np.clip(band_type[f] - prev, lo, hi)
-        band_type[f] = np.clip(prev + d, 0, 14)
-        prev = band_type[f].copy()
-    for b in range(bands_keep):
-        s, n = BAND_START[b], BAND_SIZES[b]
-        for f in range(F):
-            t = int(band_type[f, b])
-            if t == 0:
-                q[f, s:s + n] = 0
+        full = float(np.abs(coefs[:, s:s + n]).max()) if F else 0.0
+        target = int(np.ceil(full / (1 << bits_b))) if full > 0 else 1
+        code = 0
+        for j in range(64):
+            if _SCALE64[j] < target:
+                code = j
             else:
-                np.clip(q[f, s:s + n], -(1 << (t - 1)), (1 << (t - 1)) - 1,
-                        out=q[f, s:s + n])
+                break
+        if fmt_type == 1:
+            # re-center so the type-1 tables' 6-bit encodings land near the
+            # type-0 target (reference: DCSEncoder.cpp:931-955)
+            adjust = (0x0D if b < 3 else 0x17) + (1 if sub_type == 0 else 3)
+            code = max(0, code - adjust)
+        hdr_scale[b] = code
 
-    # --- header: Type 0, subtype 0; scale codes per band; terminator
+    # --- stream header: per-band scale codes, $FF terminator for unused
+    # bands, type bit in [0], subtype bits in [1]/[2]
     header = bytearray(16)
     for b in range(16):
-        header[b] = scale_code[b] & 0x3F if b < bands_keep else 0x7F
-    if bands_keep == 16:
-        pass  # all bands live; no terminator
-    # subtype bits live in hdr[1]/hdr[2] high bits: 0/0 → subtype 0
+        header[b] = hdr_scale[b] if b < bands_keep else 0xFF
+    if fmt_type != 0:
+        header[0] |= 0x80
+    header[1] |= (sub_type & 0x02) << 6
+    header[2] |= (sub_type & 0x01) << 7
 
-    # --- pack frames
+    # --- precompute per-band round-trip error tables
+    preadj_map = np.asarray(T.PREADJ0 if sub_type == 0 else T.PREADJ3)
+    preadj_values = sorted(set(int(x) for x in preadj_map)) \
+        if fmt_type == 1 else [0]
+    pa_index = {p: i for i, p in enumerate(preadj_values)}
+    err_tabs, width_tabs = [], []
+    for b in range(bands_keep):
+        s, n = BAND_START[b], BAND_SIZES[b]
+        pv = preadj_values if (fmt_type == 1 and b < 3) else [preadj_values[0]]
+        e, wd = _band_err_tables(coefs[:, s:s + n], b, fmt_type,
+                                 hdr_scale[b], pv)
+        err_tabs.append(e)
+        width_tabs.append(wd)
+
+    min_rng = params.minimum_dynamic_range * 2 * 32768.0
+    err_max_per_sample = (params.maximum_quantization_error * 32768.0) ** 2
+
+    # --- per-frame band-type selection + packing
     w = BitWriter()
-    prev = np.zeros(16, dtype=np.int32)
+    prev = [0] * 16
     for f in range(F):
-        bt = band_type[f]
+        codes = [0] * 16
         for b in range(bands_keep):
-            code, nb = _DELTA_CODES[int(bt[b] - prev[b])]
-            w.write(code, nb)
-        prev = bt.copy()
-        for b in range(bands_keep):
-            t = int(bt[b])
-            if t == 0:
-                continue
             s, n = BAND_START[b], BAND_SIZES[b]
-            vals = q[f, s:s + n]
-            if t <= 6:
-                by_val, two_zero = _CODEBOOK_CODES[t]
-                ref = 1 << (t - 1)
+            seg = coefs[f, s:s + n]
+            if float(seg.max() - seg.min()) < min_rng:
+                codes[b] = 0
+            else:
+                pi = 0
+                if fmt_type == 1 and b < 3:
+                    pi = pa_index[int(preadj_map[prev[b]])]
+                errs = err_tabs[b][f, :, pi]
+                widths = width_tabs[b][:, pi]
+                c_lo = max(1, prev[b] - 16)
+                c_hi = min(15, prev[b] + 14)
+                cand = np.arange(c_lo, c_hi + 1)
+                ce, cw = errs[cand], widths[cand]
+                passing = ce <= err_max_per_sample * n
+                if passing.any():
+                    # narrowest passing width, then lowest error among those
+                    wmin = cw[passing].min()
+                    pool = passing & (cw == wmin)
+                else:
+                    pool = np.ones(len(cand), dtype=bool)
+                masked = np.where(pool, ce, np.inf)
+                codes[b] = int(cand[int(np.argmin(masked))])
+            # write the Huffman-coded difference from the previous frame
+            cw_, nb = _DELTA_CODES[codes[b] - prev[b]]
+            w.write(cw_, nb)
+
+        # write the band samples
+        for b in range(bands_keep):
+            c = codes[b]
+            if c == 0:
+                continue
+            pa = int(preadj_map[prev[b]]) if (fmt_type == 1 and b < 3) else 0
+            bw, sc = _band_coding(b, c, fmt_type, hdr_scale[b], pa)
+            if bw == 0:
+                continue
+            scale = float(max(_scale_factor(sc), 1))
+            # codebook widths bias to the range midpoint; raw widths are
+            # written as plain 2's complement (reference refVal rule)
+            ref = 1 << (bw - 1) if bw <= 6 else 0
+            mask = (1 << bw) - 1
+            s, n = BAND_START[b], BAND_SIZES[b]
+            staging = np.round(coefs[f, s:s + n] / scale).astype(np.int64)
+            if bw <= 6:
+                by_val, two_zero = _CODEBOOK_CODES[bw]
                 i = 0
                 while i < n:
-                    v = int(vals[i])
+                    v = int(staging[i])
                     if (two_zero is not None and v == 0 and i + 1 < n
-                            and int(vals[i + 1]) == 0):
+                            and int(staging[i + 1]) == 0):
                         w.write(*two_zero)
                         i += 2
                         continue
-                    cw, ln = by_val[(v + ref) & 0x7F]
-                    w.write(cw, ln)
+                    w.write(*by_val[(v + ref) & mask])
                     i += 1
             else:
-                for v in vals:
-                    w.write(int(v) & ((1 << t) - 1), t)
+                for v in staging:
+                    w.write((int(v) + ref) & mask, bw)
+        prev = codes
 
     body = w.bytes()
     out = bytearray()
@@ -273,6 +344,27 @@ def encode_frames(coefs, params: CompressionParams):
     out += header
     out += body
     return bytes(out)
+
+
+def encode_frames(coefs, params: CompressionParams):
+    """Encode analysis coefficients, searching the requested stream formats
+    and keeping the smallest result — {type 0,1} × {subtype 0,3}, with -1 as
+    a wildcard (reference: DCSEncoder.cpp:784-853)."""
+    formats = [(0, 0), (0, 3), (1, 0), (1, 3)]
+    want_t = params.stream_format_type
+    want_s = params.stream_format_subtype
+    best = None
+    for (t, s) in formats:
+        if (want_t >= 0 and want_t != t) or (want_s >= 0 and want_s != s):
+            continue
+        stream = _encode_stream(coefs, t, s, params)
+        if best is None or len(stream) < len(best):
+            best = stream
+    if best is None:
+        raise ValueError(
+            "No available stream format types match the requested "
+            "encoding parameters")
+    return best
 
 
 # ----------------------------------------------------------------------

@@ -32,6 +32,22 @@ def build_parser():
                    help="power band cutoff fraction (1.0 keeps all bands)")
     p.add_argument("--max-error", type=float, default=10.0 / 32768.0,
                    help="max quantization error (fraction of full scale)")
+    p.add_argument("--format-type", type=int, default=-1, choices=(-1, 0, 1),
+                   help="stream format major type (-1 = try both, keep "
+                        "smallest)")
+    p.add_argument("--format-subtype", type=int, default=-1,
+                   choices=(-1, 0, 3),
+                   help="stream format subtype (-1 = try both)")
+    p.add_argument("--rom-size", default=None, choices=("512K", "1M"),
+                   help="per-chip ROM size for --script output (default: "
+                        "the script/prototype's size, 512K)")
+    p.add_argument("--rom-prefix", default="sound_",
+                   help="zip entry name prefix for generated ROM images")
+    p.add_argument("--stream-dir", default=None,
+                   help="directory searched for stream files named in the "
+                        "script (default: the script's directory)")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress the layout report")
     p.add_argument("--check", action="store_true",
                    help="round-trip decode each stream and report SNR")
     return p
@@ -88,6 +104,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from ..encoder.encoder import CompressionParams
     params = CompressionParams(
+        stream_format_type=args.format_type,
+        stream_format_subtype=args.format_subtype,
         target_bit_rate=args.bitrate,
         power_band_cutoff=args.cutoff,
         maximum_quantization_error=args.max_error)
@@ -97,13 +115,18 @@ def main(argv=None):
         out = args.output or "romset.zip"
         try:
             zip_bytes, report = cscript.compile_script_file(
-                args.script, params, prototype_zip=args.patch)
+                args.script, params, prototype_zip=args.patch,
+                stream_dir=args.stream_dir,
+                chip_size={None: None, "512K": 512 * 1024,
+                           "1M": 1024 * 1024}[args.rom_size],
+                rom_prefix=args.rom_prefix)
         except cscript.ScriptError as e:
             print(f"script error: {e}", file=sys.stderr)
             return 1
         with open(out, "wb") as f:
             f.write(zip_bytes)
-        print(report)
+        if not args.quiet:
+            print(report)
         print(f"ROM set -> {out}")
         return 0
 

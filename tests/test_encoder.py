@@ -52,15 +52,25 @@ def _lag_gain_snr(out, src):
 def test_roundtrip_quality_and_cross_decoder():
     pcm = _signal()
     # keep all bands for the quality check (the default 0.97 power cutoff
-    # intentionally discards low-power bands, same as the reference)
+    # intentionally discards low-power bands, same as the reference).
+    # Type 0 spends more bits for transparency; the default wildcard picks
+    # the smallest format (type 1 subtype 3, like the reference default),
+    # which trades a little SNR for ~30% smaller streams.
     stream, nf = enc.encode_pcm(
-        pcm, enc.CompressionParams(power_band_cutoff=1.0))
+        pcm, enc.CompressionParams(power_band_cutoff=1.0,
+                                   stream_format_type=0))
     out = _decode_mine(stream, nf)
 
     lag, gain, snr = _lag_gain_snr(out, pcm)
     assert abs(lag) <= 16
     assert 0.4 < gain < 0.56, f"level convention drifted: gain={gain}"
     assert snr > 28, f"round-trip SNR too low: {snr:.1f} dB"
+
+    stream_w, nf_w = enc.encode_pcm(
+        pcm, enc.CompressionParams(power_band_cutoff=1.0))
+    assert len(stream_w) <= len(stream)
+    _, _, snr_w = _lag_gain_snr(_decode_mine(stream_w, nf_w), pcm)
+    assert snr_w > 23, f"wildcard-format SNR too low: {snr_w:.1f} dB"
 
     # default (lossy-cutoff) settings still reach a reasonable floor
     stream_d, nf_d = enc.encode_pcm(pcm)
@@ -133,3 +143,36 @@ def test_encode_via_rate_conversion():
     # one second of audio at either rate
     assert abs(out.size - 31250) < 600
     assert np.abs(out.astype(np.int32)).max() > 1500
+
+
+def test_all_formats_cross_decoder_and_device():
+    """Every emitted stream format — {type 0,1} × {subtype 0,3} — must
+    decode bit-exactly in the compiled reference decoder AND in the TPU
+    flat-sweep pipeline."""
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+    from dcsexplorer_tpu.models import flatsweep
+
+    pcm = _signal(seconds=0.4, seed=33)
+    streams = []
+    for (ty, su) in [(0, 0), (0, 3), (1, 0), (1, 3)]:
+        s, _ = enc.encode_pcm(pcm, enc.CompressionParams(
+            stream_format_type=ty, stream_format_subtype=su))
+        streams.append(bytes(s))
+    # header flag bits (stream bytes 2-4 = header[0..2]) reflect the
+    # requested format: [0]bit7 = type, [1]/[2]bit7 = subtype bits 1/0
+    flags = [((s[2] >> 7) & 1, ((s[3] >> 6) & 2) | ((s[4] >> 7) & 1))
+             for s in streams]
+    assert flags == [(0, 0), (0, 3), (1, 0), (1, 3)]
+
+    sw = flatsweep.FlatSweep(streams).pack()
+    out = flatsweep.run_flat(sw)
+    pos = 0
+    for k, s in enumerate(streams):
+        nf = (s[0] << 8) | s[1]
+        ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=0x67)
+        ref.load_stream(s, channel=0, mixing_level=0x64)
+        golden = ref.next_samples(nf * 240)
+        got = out[pos:pos + nf * 240]
+        assert np.array_equal(golden, got), f"format #{k} device mismatch"
+        pos += nf * 240
