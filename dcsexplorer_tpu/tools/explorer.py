@@ -48,11 +48,12 @@ def build_parser():
     p.add_argument("--validate", action="store_true",
                    help="lockstep-validate the TPU pipeline against the "
                         "scalar reference decoder over an autoplay sweep")
-    p.add_argument("--backend", choices=("tpu", "scalar", "emulator"),
-                   default="tpu",
-                   help="decode backend for extraction/autoplay (the "
-                        "emulator runs original ROM firmware on the "
-                        "ADSP-2105 interpreter)")
+    p.add_argument("--backend", default="tpu",
+                   help="decode backend for extraction/autoplay: 'tpu' "
+                        "(batched device pipeline) or any registered "
+                        "decoder by name/prefix — 'native' (scalar), "
+                        "'emulator-strict' (runs original ROM firmware on "
+                        "the ADSP-2105 interpreter); '?' lists backends")
     p.add_argument("--vol", type=int, default=0x67, help="master volume 0-255")
     p.add_argument("--platform", choices=("default", "cpu"), default="default",
                    help="JAX platform override (cpu = host execution)")
@@ -153,11 +154,10 @@ def _decode_track(rs, track, vol, backend, max_frames):
     if backend == "tpu":
         pcm, _ = romplay.play_session(rs, events, n, default_volume=vol)
         return pcm
-    if backend == "emulator":
-        from ..emu.board import EmulatedDecoder
-        dec = EmulatedDecoder()
-    else:
-        dec = rd.ReferenceDecoder()
+    from ..refdec import registry
+    if backend == "scalar":
+        backend = "native"      # legacy alias
+    dec = registry.create(backend)
     dec.default_volume = vol
     dec.load_rom_set(rs)
     dec.soft_boot()
@@ -320,6 +320,21 @@ def cmd_validate(rs, vol, max_frames):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.backend != "tpu":
+        # validate the backend selection up front (reference behavior:
+        # DCSExplorer.cpp:458-537 — '?' or a bad name lists the choices)
+        from ..refdec import registry
+        try:
+            if args.backend not in ("?", "scalar"):
+                registry.resolve(args.backend)
+        except (KeyError, registry.AmbiguousBackendError):
+            args.backend = "?"
+        if args.backend == "?":
+            print("Available decoders:")
+            print(f"    {'tpu':<16} batched TPU device pipeline (default)")
+            for r in registry.registrations():
+                print(f"    {r.name:<16} {r.description}")
+            return 0
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
