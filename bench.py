@@ -37,7 +37,7 @@ def main():
     assert streams, "no benchmark streams found under assets/streams/"
 
     # replicate the stream set into a catalog-sized batch
-    copies = int(os.environ.get("DCS_BENCH_COPIES", "24"))
+    copies = int(os.environ.get("DCS_BENCH_COPIES", "96"))
     catalog = streams * copies
     sweep_in = flatsweep.FlatSweep(catalog).pack()
     args = list(sweep_in.args())

@@ -86,7 +86,7 @@ class SweepInputs:
             btp[k, n:] = i.band_type_prev[n - 1] if n else 0
         self.fmt_type = idxs[0].fmt_type
         self.sub_type = idxs[0].sub_type
-        max_dense = max(int(prescan.dense_totals(i).max()) for i in idxs
+        max_dense = max(int(prescan.scan_totals(i).max()) for i in idxs
                         if i.n_frames)
         self.n_steps = min(256, (max_dense + 7) & ~7)
 
@@ -136,7 +136,7 @@ def hybrid_stage_device(dense, scale, fb_idx, valid, mix, vol_shift):
     """Device stage of the hybrid path for one stream: exact dequant/scale,
     inverse transform, overlap resolve.  dense/scale/fb_idx/valid: [F, 256];
     mix/vol_shift: [F]."""
-    fb = bd.dequant_mix(dense, (scale, fb_idx, valid), mix)
+    fb = bd.dequant_mix_dense(dense, (scale, fb_idx, valid), mix)
     raw = tf.transform94_raw(fb, vol_shift)
     return tf.overlap_resolve(raw, jnp.zeros(16, jnp.int32))[0]
 

