@@ -174,11 +174,21 @@ def _decode_track(rs, track, vol, backend, max_frames):
 
 def cmd_dasm(rs, range_spec):
     from ..rom import disasm
+    if range_spec in ("boot", "main"):
+        # static-trace disassembly with overlay reconstruction
+        # (reference: DCSExplorer.cpp:1941-2541)
+        from ..rom import dasmtrace
+        u2 = rs.chips[0]
+        ofs = 0 if range_spec == "boot" else rs.soft_boot_offset()
+        for line in dasmtrace.disassemble_program(u2, ofs):
+            print(line)
+        return
     try:
         start_s, end_s = range_spec.split(":")
         start, end = int(start_s, 0), int(end_s, 0)
     except ValueError:
-        print(f"error: bad --dasm range {range_spec!r}", file=sys.stderr)
+        print(f"error: bad --dasm range {range_spec!r} "
+              "(use START:END, 'boot', or 'main')", file=sys.stderr)
         return
     data = bytes(rs.chips[0][start * 4:end * 4])
     for line in disasm.disassemble_rom(data, start_addr=start):
