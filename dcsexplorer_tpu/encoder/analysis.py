@@ -136,3 +136,97 @@ def analyze_frames(time_frames):
     """time_frames: [F, 256] float (±32768 domain) → transmit coefficients
     [F, 255] (order: slot0, slot2..slot255), float."""
     return np.asarray(time_frames, dtype=np.float32) @ forward_matrix()
+
+
+# ----------------------------------------------------------------------
+# 1993-format analysis (counterpart of ops/transform.transform93_raw)
+
+def _float_transform93(fb):
+    """Float-idealized 1993 decoder transform: fb [B, 512] → time [B, 256].
+
+    Mirrors ops/transform.transform93_raw without rounding/saturation or the
+    volume shift.  Slots 0 and 1 must be zero on input (the real decoder
+    feeds them through a nonlinear Taylor-sqrt magnitude fixup; the encoder
+    simply never transmits energy there, which keeps the map linear)."""
+    from ..ops import transform as tf
+    fb = fb.astype(np.float64).copy()
+    B = fb.shape[0]
+    sin = _s16f(_IFFT[:128]) / 32768.0
+    cos = _s16f(_IFFT[128:]) / 32768.0
+
+    fb[:, 0x000] = 0.0
+    fb[:, 0x001] = 0.0
+    fb[:, 0x100] = 0.0
+    fb[:, 0x101] = 0.0
+
+    # expand 256 → 512 (index maps shared with the exact kernel)
+    i0, i1 = np.asarray(tf._E93_I0), np.asarray(tf._E93_I1)
+    i2, i3 = np.asarray(tf._E93_I2), np.asarray(tf._E93_I3)
+    xr, xi = fb[:, i0].copy(), fb[:, i0 + 1].copy()
+    yr, yi = fb[:, i1].copy(), fb[:, i1 + 1].copy()
+    fb[:, i0] = xr + yr
+    fb[:, i1] = xr + yr
+    fb[:, i2] = xr - yr
+    fb[:, i3] = yr - xr
+    fb[:, i2 + 1] = xi + yi
+    fb[:, i3 + 1] = xi + yi
+    fb[:, i0 + 1] = xi - yi
+    fb[:, i1 + 1] = yi - xi
+
+    core = fb
+    n_part, part = 2, 0x80
+    for _ in range(7):
+        v = core.reshape(B, n_part, 2, part)
+        u, a = v[:, :, 0, :].copy(), v[:, :, 1, :]
+        ap = a.reshape(B, n_part, part // 2, 2)
+        a_re, a_im = ap[..., 0], ap[..., 1]
+        cc = cos[:n_part].reshape(1, n_part, 1)
+        cs = sin[:n_part].reshape(1, n_part, 1)
+        t_re = a_re * cc - a_im * cs
+        t_im = a_im * cc + a_re * cs
+        up = u.reshape(B, n_part, part // 2, 2)
+        u_re, u_im = up[..., 0], up[..., 1]
+        nu = np.stack([u_re - t_re, u_im - t_im], axis=-1)
+        na = np.stack([t_re + u_re, t_im + u_im], axis=-1)
+        core = np.stack([nu.reshape(B, n_part, part),
+                         na.reshape(B, n_part, part)], axis=2).reshape(B, 512)
+        n_part *= 2
+        part //= 2
+
+    return core[:, np.asarray(tf._BR93)]
+
+
+# 93 transmit dims: fb slots 2..255 (slot 0/1 stay zero for linearity; the
+# dead fb slot 256 of format-type-0 streams is likewise never used)
+LIVE_SLOTS93 = np.arange(2, 256, dtype=np.int64)    # 254 dims
+
+_D93, _F93 = None, None
+
+
+def _build_matrices93():
+    basis = np.zeros((254, 512))
+    for k, s in enumerate(LIVE_SLOTS93):
+        basis[k, s] = 32768.0
+    D = _float_transform93(basis) / 32768.0
+    F = np.linalg.pinv(D)
+    return D.astype(np.float32), F.astype(np.float32)
+
+
+def decoder_matrix93():
+    global _D93, _F93
+    if _D93 is None:
+        _D93, _F93 = _build_matrices93()
+    return _D93
+
+
+def forward_matrix93():
+    global _D93, _F93
+    if _F93 is None:
+        _D93, _F93 = _build_matrices93()
+    return _F93
+
+
+def analyze_frames93(time_frames):
+    """time_frames: [F, 256] float (±32768 domain) → 93-format coefficients
+    [F, 254] for fb slots 2..255."""
+    return np.asarray(time_frames, dtype=np.float32) @ forward_matrix93()

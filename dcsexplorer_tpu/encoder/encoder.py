@@ -434,8 +434,14 @@ def frames_from_pcm(pcm):
     return frames
 
 
-def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE):
-    """Encode int16/float PCM into a DCS stream.  Returns (bytes, n_frames)."""
+def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
+               os_version=None):
+    """Encode int16/float PCM into a DCS stream.  Returns (bytes, n_frames).
+
+    os_version selects the format family (refdec.decoder OS constants):
+    OS94/OS95 (default) → the 1994+ codec with the type/subtype search;
+    OS93A/OS93B → the 1993 codec (reference: formatVersion 0x9300/0x9301).
+    """
     if params is None:
         params = CompressionParams()
     pcm = np.asarray(pcm)
@@ -449,6 +455,25 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE):
     # plain analysis output (decoding at master volume 255 / mixing level
     # 0x64 then plays at ≈0.48× the source level, exactly as reference-
     # encoded streams do; see tests/test_encoder.py)
+    from ..refdec.decoder import OS93A, OS93B
+    if os_version in (OS93A, OS93B):
+        from . import encoder93
+        coefs93 = analysis.analyze_frames93(frames)
+        want_t = params.stream_format_type
+        types = [0] if os_version == OS93A and want_t < 0 else \
+            [t for t in (0, 1) if want_t < 0 or want_t == t]
+        best = None
+        for t in types:
+            s = encoder93.encode_stream93(coefs93.astype(np.float64), t,
+                                          params,
+                                          os93a=(os_version == OS93A))
+            if best is None or len(s) < len(best):
+                best = s
+        if best is None:
+            raise ValueError(
+                "No available stream format types match the requested "
+                "encoding parameters")
+        return best, frames.shape[0]
     coefs = analysis.analyze_frames(frames)
     stream = encode_frames(coefs.astype(np.float32), params)
     return stream, frames.shape[0]

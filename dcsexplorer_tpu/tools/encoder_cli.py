@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--format-subtype", type=int, default=-1,
                    choices=(-1, 0, 3),
                    help="stream format subtype (-1 = try both)")
+    p.add_argument("--format-version", default="94",
+                   choices=("93a", "93b", "94", "95"),
+                   help="codec family for raw stream output (reference "
+                        "formatVersion 0x9301/0x9300/0x9400)")
     p.add_argument("--rom-size", default=None, choices=("512K", "1M"),
                    help="per-chip ROM size for --script output (default: "
                         "the script/prototype's size, 512K)")
@@ -62,11 +66,13 @@ def _load_audio(path):
     return ("pcm", audio * 32768.0, rate)
 
 
-def encode_file(path, out_path, params, check=False):
+def encode_file(path, out_path, params, check=False, os_version=None):
     from ..encoder import encoder as enc
     from ..utils import audioio
     from ..refdec.decoder import OS94
 
+    if os_version is None:
+        os_version = OS94
     kind, data, meta = _load_audio(path)
     if kind == "dcs":
         # already a DCS stream: pass through
@@ -75,8 +81,8 @@ def encode_file(path, out_path, params, check=False):
         return
 
     stream, nf = enc.encode_pcm(data.astype(np.float32), params,
-                                sample_rate=int(meta))
-    audioio.write_dcs_raw(out_path, stream, OS94)
+                                sample_rate=int(meta), os_version=os_version)
+    audioio.write_dcs_raw(out_path, stream, os_version)
     secs = nf * 240 / 31250.0
     kbps = len(stream) * 8 / secs / 1000.0
     msg = (f"{path}: {secs:.2f}s -> {out_path} "
@@ -85,7 +91,7 @@ def encode_file(path, out_path, params, check=False):
         from ..refdec.decoder import ReferenceDecoder
         dec = ReferenceDecoder()
         dec.default_volume = 255
-        dec.init_standalone(OS94)
+        dec.init_standalone(os_version)
         dec.soft_boot()
         dec.load_audio_stream(0, stream, mixing_level=0x64)
         out = np.array(dec.next_samples(nf * 240), dtype=np.float64)
@@ -142,7 +148,13 @@ def main(argv=None):
         else:
             base = os.path.splitext(os.path.basename(path))[0] + ".dcs"
             out_path = os.path.join(args.output or ".", base)
-        encode_file(path, out_path, params, check=args.check)
+        osmap = {"93a": 1, "93b": 2, "94": 3, "95": 4}
+        try:
+            encode_file(path, out_path, params, check=args.check,
+                        os_version=osmap[args.format_version])
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     return 0
 
 

@@ -176,3 +176,54 @@ def test_all_formats_cross_decoder_and_device():
         got = out[pos:pos + nf * 240]
         assert np.array_equal(golden, got), f"format #{k} device mismatch"
         pos += nf * 240
+
+
+def test_93_encoder_roundtrip_and_cross_decoder():
+    """The 1993-format encoder's streams must decode identically in the
+    scalar decoder, the compiled reference decoder, and the TPU 93 kernel,
+    at reasonable quality for both major types."""
+    from dcsexplorer_tpu.refdec.decoder import OS93A, OS93B
+
+    pcm = _signal(seconds=0.4, seed=77)
+    for (osv, ty) in [(2, 0), (2, 1), (1, 0)]:     # OS93B t0/t1, OS93A t0
+        stream, nf = enc.encode_pcm(pcm, enc.CompressionParams(
+            stream_format_type=ty, power_band_cutoff=1.0), os_version=osv)
+        dec = ReferenceDecoder()
+        dec.default_volume = 255
+        dec.init_standalone(osv)
+        dec.soft_boot()
+        dec.load_audio_stream(0, stream, mixing_level=0x64)
+        out = np.array(dec.next_samples(nf * 240), dtype=np.int16)
+        lag, gain, snr = _lag_gain_snr(out, pcm)
+        assert abs(lag) <= 16
+        assert 0.4 < gain < 0.56, f"93 level convention: gain={gain}"
+        assert snr > 20, f"93 (os={osv},t={ty}) SNR too low: {snr:.1f} dB"
+
+        if oracle.get_lib() is not None:
+            ref = oracle.OracleDecoder(os_version=osv, default_volume=255)
+            ref.load_stream(stream, channel=0, mixing_level=0x64)
+            rout = ref.next_samples(nf * 240)
+            assert np.array_equal(rout, out), \
+                f"reference decoder disagrees on 93 (os={osv},t={ty})"
+
+    # OS93a Type 1 has no encoder (matching the reference)
+    with pytest.raises(ValueError):
+        from dcsexplorer_tpu.encoder import encoder93
+        encoder93.encode_stream93(np.zeros((2, 254)), 1,
+                                  enc.CompressionParams(), os93a=True)
+
+
+def test_93_encoder_device_kernel():
+    """93-encoded streams decode bit-exactly through the TPU 93 kernel."""
+    if oracle.get_lib() is None:
+        pytest.skip("reference oracle unavailable")
+    from .test_format93 import _device_decode93
+    pcm = _signal(seconds=0.3, seed=78)
+    for ty in (0, 1):
+        stream, nf = enc.encode_pcm(pcm, enc.CompressionParams(
+            stream_format_type=ty), os_version=2)
+        ref = oracle.OracleDecoder(os_version=2, default_volume=255)
+        ref.load_stream(stream, channel=0, mixing_level=0x64)
+        golden = ref.next_samples(nf * 240)
+        got = _device_decode93(stream, nf)
+        assert np.array_equal(golden, got), f"93 device mismatch (t={ty})"
