@@ -1,0 +1,171 @@
+"""OS93a Type-1 (Judge Dredd) device decode: host prescan + static kernel.
+
+The format (refdec/frames.decompress_frame_93a_type1; reference:
+DCSDecoderNative.cpp:2698-3032): per band, a Huffman bit-width prefix from
+one of four selector-chosen codebooks, a two-level scale codeword feeding a
+wrapping scale-code chain, then fixed-width samples where EACH input yields
+TWO outputs via a 256-pair lookup table.
+
+TPU shape: the host walker records per-band bit offsets, widths, and the
+resolved 32-bit scale words; every band's output span is static (skipped
+bands still advance by 2×inputs), so the device kernel is pure gathers +
+elementwise math with a static concatenation into the frame buffer — no
+scan, no scatter.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..format import tables as T
+from ..refdec.bitreader import BitReader, PaddedView
+from .fixmath import M16, s16
+
+N_BANDS = 18
+INPUTS = np.asarray(T.OS93A_INPUTS_PER_BAND, dtype=np.int64)     # [18]
+OUT_BASE = np.concatenate([[0], np.cumsum(2 * INPUTS)])          # [19]
+TOTAL_OUT = int(OUT_BASE[-1])                                    # 250
+MAX_IN = int(INPUTS.max())                                       # 14
+_PAIR = np.asarray(T.OS93A_PAIR_TABLE, dtype=np.int32)
+
+
+@dataclass
+class Stream93aIndex:
+    n_frames: int
+    selector: int
+    bits: np.ndarray        # [F,18] sample bit width (0 = skipped band)
+    bit_start: np.ndarray   # [F,18] absolute bit offset of first sample
+    scale32: np.ndarray     # [F,18] resolved 32-bit scale word
+    end_bit: np.ndarray     # [F]
+
+
+def prescan93a(mem, pos=0):
+    """Walk an OS93a Type-1 stream, recording per-band decode controls."""
+    mem = PaddedView(mem)
+    n_frames = (int(mem[pos]) << 8) | int(mem[pos + 1])
+    hdr = int(mem[pos + 2])
+    selector = hdr & 0x60
+    num_bands = hdr & 0x1F
+    bit = BitReader(mem, pos + 3)
+
+    band_books = np.asarray(T.OS93A_BAND_BITS_CODEBOOKS, dtype=np.int64)
+    scale_book = np.asarray(T.OS93A_SCALE_CODEBOOK, dtype=np.int64)
+    book_base = selector >> 1
+
+    F = n_frames
+    idx = Stream93aIndex(
+        n_frames=F, selector=selector,
+        bits=np.zeros((F, N_BANDS), dtype=np.int64),
+        bit_start=np.zeros((F, N_BANDS), dtype=np.int64),
+        scale32=np.zeros((F, N_BANDS), dtype=np.int64),
+        end_bit=np.zeros(F, dtype=np.int64))
+
+    for f in range(F):
+        prv_scale_code = 0x1A
+        for band in range(min(num_bands, N_BANDS)):
+            ele = band_books[book_base + bit.peek(4)]
+            band_bits = int(ele[0]) & M16
+            bit.get(int(ele[1]))
+            if band_bits == 0xFFFF:
+                break
+            if band_bits == 0:
+                continue
+
+            sc = scale_book[bit.peek(4)]
+            bit.get(int(sc[1]))
+            if (int(sc[0]) & M16) == 0xFFFF:
+                sc = scale_book[int(sc[2]) + bit.peek(4)]
+                bit.get(int(sc[1]) - 4)
+
+            scale_code = prv_scale_code + int(sc[0]) - 1 + band_bits * 2
+            if scale_code > 0x39:
+                scale_code -= 0x36
+            prv_scale_code = scale_code - band_bits * 2
+
+            shift = scale_code >> 2
+            exponent = scale_code & 3
+            scale = 0x8000
+            for _ in range(exponent):
+                scale = (scale * 0x9838) >> 15
+            scale = (scale << shift) & 0xFFFFFFFF
+
+            n = int(INPUTS[band])
+            idx.bits[f, band] = band_bits
+            idx.scale32[f, band] = scale
+            idx.bit_start[f, band] = bit.pos * 8 - bit.nbits
+            for _ in range(n):
+                bit.get(band_bits)
+        idx.end_bit[f] = bit.pos * 8 - bit.nbits
+    return idx
+
+
+def index_arrays(idx: Stream93aIndex, bit_base=0):
+    return {
+        "bits": jnp.asarray(idx.bits, jnp.int32),
+        "bit_start": jnp.asarray(idx.bit_start + bit_base, jnp.int32),
+        "scale32": jnp.asarray(idx.scale32, jnp.int32),
+    }
+
+
+def decode93a_frames(pool_words, idx_arrays, mix, fb_prev=None):
+    """Device decode of F frames into frame buffers [F, 512].
+
+    pool_words: [L] 24-bit window words; mix: [F].  All band output spans
+    are static, so the result assembles by slicing — no scatter.
+    """
+    bits = idx_arrays["bits"]
+    bit_start = idx_arrays["bit_start"]
+    scale32 = idx_arrays["scale32"]
+    F = bits.shape[0]
+    if fb_prev is None:
+        fb_prev = jnp.zeros((F, 512), jnp.int32)
+
+    s_in = jnp.arange(MAX_IN, dtype=jnp.int32).reshape(1, 1, MAX_IN)
+    w = bits[:, :, None]
+    live = (s_in < jnp.asarray(INPUTS, jnp.int32).reshape(1, N_BANDS, 1)) \
+        & (w > 0)
+
+    # fixed-width raw samples: one gather per (band, input) cell
+    bitpos = bit_start[:, :, None] + s_in * w
+    w24 = pool_words[bitpos >> 3]
+    w1 = jnp.maximum(w, 1)
+    raw = (w24 >> (24 - w1 - (bitpos & 7))) & ((1 << w1) - 1)   # unsigned
+
+    # each input yields two outputs via the pair table at (2<<bits)+2*raw
+    base = (2 << w1) + 2 * raw
+    pair = jnp.asarray(_PAIR)
+    pair0 = pair[jnp.clip(base, 0, _PAIR.size - 1)]
+    pair1 = pair[jnp.clip(base + 1, 0, _PAIR.size - 1)]
+
+    # effective scale folds the mixing multiplier (reference :2941-2947)
+    eff = ((scale32[:, :, None] >> 16) * (mix[:, None, None] & M16)) >> 15
+
+    # interleave the two outputs per input: [F, 18, MAX_IN, 2] → [F, 18, 2*MAX_IN]
+    outs = jnp.stack([pair0, pair1], axis=-1)
+    vals = outs.reshape(F, N_BANDS, 2 * MAX_IN)
+    live2 = jnp.repeat(live, 2, axis=2)
+    eff2 = jnp.repeat(eff * jnp.ones_like(raw), 2, axis=2)
+
+    # static per-band slices of the previous accumulator
+    old_bands = []
+    for b in range(N_BANDS):
+        lo, n = int(OUT_BASE[b]), int(INPUTS[b]) * 2
+        seg = fb_prev[:, lo:lo + n]
+        if n < 2 * MAX_IN:
+            seg = jnp.pad(seg, ((0, 0), (0, 2 * MAX_IN - n)))
+        old_bands.append(seg)
+    out_old = jnp.stack(old_bands, axis=1)          # [F, 18, 2*MAX_IN]
+
+    prod = (s16(vals) * s16(eff2)) << 1
+    mr = (s16(out_old) << 16) + prod
+    res = mr + 0x8000
+    res = jnp.where((prod & M16) == 0x8000, res & ~0x10000, res)
+    new_val = (res >> 16) & M16
+    new_val = jnp.where(live2, new_val, out_old & M16)
+
+    # assemble by static slicing (band spans are contiguous from position 0)
+    segs = [new_val[:, b, :int(INPUTS[b]) * 2] for b in range(N_BANDS)]
+    front = jnp.concatenate(segs, axis=1)           # [F, TOTAL_OUT]
+    return jnp.concatenate([front, fb_prev[:, TOTAL_OUT:]], axis=1)

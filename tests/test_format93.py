@@ -285,3 +285,60 @@ def test_93_device_pipeline_parity(builder, seed):
     assert mism.size == 0, (
         f"{mism.size} mismatches, first at {mism[0]} (frame {mism[0]//240}): "
         f"scalar={golden[mism[0]]} device={got[mism[0]]}")
+
+
+def _device_decode93a(stream, n_frames):
+    """Decode an OS93a Type-1 stream on the device kernel (single voice)."""
+    import jax
+    import jax.numpy as jnp
+    from dcsexplorer_tpu.models.pipeline import ControlTracer
+    from dcsexplorer_tpu.ops import band_decode as bd
+    from dcsexplorer_tpu.ops import decode93a, transform as tf
+
+    idx = decode93a.prescan93a(stream, 0)
+    tr = ControlTracer()
+    tr.default_volume = 255
+    tr.init_standalone(OS93A)
+    tr.soft_boot()
+    tr.load_audio_stream(0, stream, mixing_level=0x64)
+    tr.trace_frames(idx.n_frames)
+    mix = np.zeros(idx.n_frames, dtype=np.int32)
+    for t, entries in enumerate(tr.trace_entries):
+        for (c, _, fidx, m) in entries:
+            if c == 0 and fidx == t:
+                mix[t] = m
+    vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+
+    pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
+                         dtype=np.uint8).astype(np.int32)
+    wwords = bd.window_words(jnp.asarray(pool))
+    arrays = decode93a.index_arrays(idx)
+
+    def pipe(ww, arrs, mixv, volv):
+        fb = decode93a.decode93a_frames(ww, arrs, mixv)
+        raw = tf.transform93_raw(fb, volv)
+        pcm, _ = tf.overlap_resolve93(raw, jnp.zeros(16, jnp.int32))
+        return pcm
+
+    pcm = np.asarray(jax.jit(pipe)(wwords, arrays, jnp.asarray(mix),
+                                   jnp.asarray(vol)))
+    return (((pcm & 0xFFFF) ^ 0x8000)
+            - 0x8000).astype(np.int16).reshape(-1)[:n_frames * 240]
+
+
+@pytest.mark.parametrize("seed,selector", [(11, 0), (12, 1), (13, 2), (14, 3)])
+def test_93a_type1_device_pipeline_parity(seed, selector):
+    """Device OS93a Type-1 decode (prescan + static kernel) must match the
+    compiled reference bit-exactly."""
+    _require_oracle()
+    n = 10
+    s = build_stream93a_type1(n_frames=n, n_bands=10, selector=selector,
+                              seed=seed)
+    ref = oracle.OracleDecoder(os_version=OS93A, default_volume=255)
+    ref.load_stream(s, channel=0, mixing_level=0x64)
+    golden = ref.next_samples(n * 240)
+    got = _device_decode93a(s, n)
+    mism = np.nonzero(golden != got)[0]
+    assert mism.size == 0, (
+        f"93a-T1 device (sel={selector}): {mism.size} mismatches, first at "
+        f"{mism[0]} (frame {mism[0] // 240})")
