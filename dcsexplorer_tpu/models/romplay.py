@@ -54,7 +54,7 @@ def play_session(rom_set, events, n_frames, bank=None, default_volume=0x67):
 
 
 def autoplay(rom_set, tracks=None, pad_frames=4, default_volume=0x67,
-             max_frames_per_track=4000):
+             max_frames_per_track=4000, return_tracer=False):
     """Autoplay sweep: play every type-1 track once (one iteration of its
     outermost loop), sequentially, on device.
 
@@ -87,4 +87,6 @@ def autoplay(rom_set, tracks=None, pad_frames=4, default_volume=0x67,
 
     pcm, tracer = play_session(rom_set, events, total, bank=bank,
                                default_volume=default_volume)
+    if return_tracer:
+        return pcm, schedule, tracer
     return pcm, schedule

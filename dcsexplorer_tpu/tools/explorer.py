@@ -292,8 +292,9 @@ def cmd_validate(rs, vol, max_frames):
     (mirrors the reference's --validate, DCSExplorer.cpp:1338-1566)."""
     from ..models import romplay
     from ..refdec import decoder as rd
-    pcm, schedule = romplay.autoplay(rs, default_volume=vol,
-                                     max_frames_per_track=max_frames)
+    pcm, schedule, tracer = romplay.autoplay(rs, default_volume=vol,
+                                             max_frames_per_track=max_frames,
+                                             return_tracer=True)
     events = {}
     for (t, frame, _) in schedule:
         def make_event(track):
@@ -316,12 +317,18 @@ def cmd_validate(rs, vol, max_frames):
     golden = np.array(golden, dtype=np.int16)
     mism = np.nonzero(golden != pcm)[0]
     frames_bad = np.unique(mism // 240)
+    # DCS->host data-port history must match as well (reference compares
+    # both PCM and the data-port bytes, DCSExplorer.cpp:1440-1481)
+    port_ok = list(tracer.host.rx) == list(dec.host.rx)
     print(f"Samples compared: {golden.size}")
     print(f"Sample mismatches: {mism.size} in {frames_bad.size} frames")
-    if mism.size:
-        i = int(mism[0])
-        print(f"First diff at sample {i} (frame {i//240}): "
-              f"scalar={golden[i]} tpu={pcm[i]}")
+    print(f"Data port bytes: {len(dec.host.rx)} "
+          f"({'match' if port_ok else 'MISMATCH'})")
+    if mism.size or not port_ok:
+        if mism.size:
+            i = int(mism[0])
+            print(f"First diff at sample {i} (frame {i//240}): "
+                  f"scalar={golden[i]} tpu={pcm[i]}")
         print("Validation FAILED")
         return 1
     print("Validation Succeeded")
