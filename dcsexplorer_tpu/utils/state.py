@@ -172,3 +172,48 @@ def save(dec, path, stream_keys=None):
 def load(dec, path, stream_mems=None):
     with open(path, "rb") as f:
         return restore(dec, pickle.load(f), stream_mems=stream_mems)
+
+
+# ----------------------------------------------------------------------
+# Emulated-backend checkpointing: the architectural CPU state plus the
+# board registers fully determine the firmware's progress, so an emulator
+# session snapshots/restores exactly as the native one does.
+
+def snapshot_emulated(dec):
+    """Snapshot an emu.board.EmulatedDecoder (CPU + memories + board)."""
+    base = snapshot(dec)
+    cpu = dec.cpu
+    base["emu"] = dict(
+        cpu_state=list(cpu.state_vec()),
+        pm=list(cpu.pm),
+        dm=list(cpu.dm),
+        stopped=cpu.stopped,
+        bank_pos=dec.bank_pos,
+        bank_chip=next((i for i, c in enumerate(dec.rom_set.chips)
+                        if c is dec.bank_mem), None)
+        if dec.rom_set is not None else None,
+        autobuffer=(dec.autobuffer.base, dec.autobuffer.length,
+                    dec.autobuffer.step),
+        main_loop_entry=dec.main_loop_entry,
+        master_volume_addr=dec.master_volume_addr,
+    )
+    return base
+
+
+def restore_emulated(dec, snap, stream_mems=None):
+    """Restore an emulator snapshot (decoder must have the same ROM set)."""
+    restore(dec, snap, stream_mems=stream_mems)
+    e = snap["emu"]
+    cpu = dec.cpu
+    cpu.load_state_vec(e["cpu_state"])
+    cpu.pm = list(e["pm"])
+    cpu.dm = list(e["dm"])
+    cpu.stopped = e["stopped"]
+    dec.bank_pos = e["bank_pos"]
+    dec.bank_mem = (dec.rom_set.chips[e["bank_chip"]]
+                    if e["bank_chip"] is not None and dec.rom_set is not None
+                    else None)
+    (dec.autobuffer.base, dec.autobuffer.length,
+     dec.autobuffer.step) = e["autobuffer"]
+    dec.main_loop_entry = e["main_loop_entry"]
+    dec.master_volume_addr = e["master_volume_addr"]

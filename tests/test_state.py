@@ -60,3 +60,25 @@ def test_snapshot_resume_standalone(tmp_path):
     state.restore(dec2, snap, stream_mems={0: stream})
     got = np.array(dec2.next_samples(240 * 20), dtype=np.int16)
     assert np.array_equal(expected, got)
+
+
+def test_emulated_snapshot_resume():
+    """Emulator sessions checkpoint/resume exactly: the resumed decoder
+    produces the identical sample stream from the suspension point."""
+    from dcsexplorer_tpu.utils import state as dstate
+    from tests.test_emu_board import make_decoder
+
+    dec = make_decoder()
+    dec.soft_boot()
+    dec.next_samples(300)            # mid-frame suspension point
+    dec.write_data_port(0x21)        # pending queue content survives too
+    snap = dstate.snapshot_emulated(dec)
+
+    cont = dec.next_samples(480)
+
+    dec2 = make_decoder()
+    dec2.load_rom_set(dec.rom_set)
+    dstate.restore_emulated(dec2, snap)
+    cont2 = dec2.next_samples(480)
+    assert cont == cont2
+    assert dec2.cpu.dm[0x0810] == dec.cpu.dm[0x0810]
