@@ -57,6 +57,8 @@ def build_parser():
     p.add_argument("--vol", type=int, default=0x67, help="master volume 0-255")
     p.add_argument("--platform", choices=("default", "cpu"), default="default",
                    help="JAX platform override (cpu = host execution)")
+    p.add_argument("--terse", action="store_true",
+                   help="suppress schedule/data-port narration")
     p.add_argument("--max-track-frames", type=int, default=4000,
                    help="cap per-track frames in sweeps")
     return p
@@ -231,15 +233,23 @@ def cmd_extract_streams(rs, prefix, vol, backend):
               f"({idx.n_frames} frames)")
 
 
-def cmd_autoplay(rs, out_path, vol, backend, max_frames):
+def cmd_autoplay(rs, out_path, vol, backend, max_frames, terse=False):
     from ..models import romplay
     from ..utils import audioio
-    pcm, schedule = romplay.autoplay(rs, default_volume=vol,
-                                     max_frames_per_track=max_frames)
+    pcm, schedule, tracer = romplay.autoplay(rs, default_volume=vol,
+                                             max_frames_per_track=max_frames,
+                                             return_tracer=True)
     audioio.write_wav(out_path, pcm)
-    for (t, frame, dur) in schedule:
-        print(f"  track ${t:04X} at {frame*240/31250.0:7.2f}s "
-              f"({dur*240/31250.0:.2f}s)")
+    if not terse:
+        for (t, frame, dur) in schedule:
+            print(f"  track ${t:04X} at {frame*240/31250.0:7.2f}s "
+                  f"({dur*240/31250.0:.2f}s)")
+        if tracer.host.rx:
+            # narrate DCS->host data-port traffic (reference behavior
+            # unless --terse, DCSExplorer.cpp:207-216)
+            txt = " ".join(f"${b:02X}" for b in tracer.host.rx[:64])
+            more = "" if len(tracer.host.rx) <= 64 else " ..."
+            print(f"  data port -> host: {txt}{more}")
     print(f"autoplay -> {out_path} ({pcm.size/31250.0:.1f}s)")
 
 
@@ -386,7 +396,7 @@ def main(argv=None):
         did = True
     if args.autoplay:
         cmd_autoplay(rs, args.autoplay, args.vol, args.backend,
-                     args.max_track_frames)
+                     args.max_track_frames, terse=args.terse)
         did = True
     if args.interactive:
         cmd_interactive(rs, args.interactive, args.vol,
