@@ -20,6 +20,9 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="dcsencoder-tpu",
         description="DCS audio encoder / ROM compiler (TPU-native framework)")
+    from .. import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("inputs", nargs="*", help="WAV or raw .dcs input files")
     p.add_argument("-o", "--output", help="output file (.dcs) or directory")
     p.add_argument("--script", help="compile a DCS script into a ROM zip")

@@ -21,6 +21,9 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="dcsexplorer-tpu",
         description="DCS audio ROM explorer (TPU-native framework)")
+    from .. import __version__
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("rom", help="PinMame-style ROM zip")
     p.add_argument("--u2", help="explicit U2 file name inside the zip")
     p.add_argument("--info", action="store_true", help="show ROM info (default)")

@@ -1,0 +1,54 @@
+"""Multi-chip sharding correctness: the sweep sharded over a (tracks,
+frames) mesh must produce BIT-IDENTICAL PCM to the single-device run —
+sequence parallelism over frames must not perturb the overlap-add
+collective-permute.  Runs on the virtual 8-device CPU mesh
+(tests/conftest.py sets xla_force_host_platform_device_count=8)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from dcsexplorer_tpu.models import batched
+from dcsexplorer_tpu.parallel import sweep
+
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "assets", "streams")
+
+
+def _inputs(pad_frames_to=None):
+    streams = [open(p, "rb").read()
+               for p in sorted(glob.glob(os.path.join(ASSETS, "*.dcs94")))]
+    streams = streams * 2           # 8 streams → shards over 'tracks'
+    return batched.SweepInputs(streams)
+
+
+@pytest.mark.parametrize("frame_shards", [1, 2, 4])
+def test_sharded_sweep_bit_exact(frame_shards):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    inputs = _inputs()
+    args = list(inputs.args())
+    # pad the frame axis to a multiple of the frame shards
+    F = args[1].shape[1]
+    pad = (-F) % (frame_shards * 1)
+    if pad:
+        import jax.numpy as jnp
+        for k in (1, 5, 6, 7, 8):
+            widths = [(0, 0)] * args[k].ndim
+            widths[1] = (0, pad)
+            args[k] = jnp.pad(args[k], widths)
+    args = tuple(args)
+
+    single = np.asarray(jax.jit(batched.batch_decode,
+                                static_argnums=(3, 4, 9))(*args))
+
+    mesh = sweep.make_mesh(jax.devices()[:8], frame_shards=frame_shards)
+    sharded = np.asarray(sweep.sharded_sweep(mesh, args))
+
+    assert sharded.shape == single.shape
+    assert np.array_equal(sharded, single), (
+        f"sharded (frames={frame_shards}) diverged from single-device")
