@@ -152,8 +152,14 @@ class RomBuilder:
         u2.write(0x0000, bytes([0x18, 0x00, 0x0F, 0xFF]))
         sig = spec.signature.encode("ascii", "replace")[:119] + b"\x00"
         u2.write(0x0004, sig)
-        # soft-boot vector at $1000 (or $2000 for DCS-95 style)
-        u2.write(0x1000, bytes([0x18, 0x00, 0x0F, 0xFF]))
+        # Soft-boot program at $1000: a synthesized runnable mini-firmware
+        # (silence + data-port service) so generated ROMs boot on the
+        # emulator backend too; its first word is the JUMP the U2
+        # identification heuristics look for.  ($2000 keeps a JUMP for
+        # DCS-95-style layouts.)
+        from .firmware import build_firmware, encode_boot_block
+        u2.write(0x1000, encode_boot_block(
+            build_firmware(3 if self.is95 else 2)))
         u2.write(0x2000, bytes([0x18, 0x00, 0x0F, 0xFF]))
 
         def put_ops(ofs, words):

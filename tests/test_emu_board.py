@@ -237,3 +237,30 @@ def test_dcs95_rom_window():
     dec._write_dm(0x3100, 0x0000)
     dec._write_dm(0x3000, 0x0004)        # offset $2000 within U2
     assert dec._read_dm(0x0001) == rs.chips[0][0x2001]
+
+
+def test_compiler_roms_boot_in_emulator():
+    """ROM sets produced by the compiler carry a runnable mini-firmware:
+    the emulator backend boots them, runs main-loop passes (silence), and
+    services data-port bytes via the firmware's IRQ2 handler."""
+    from dcsexplorer_tpu.compiler import romgen
+    from dcsexplorer_tpu.rom import zipload
+    from .test_romgen import _make_spec      # the shared synthetic ROM spec
+
+    spec = _make_spec()
+    zip_bytes = romgen.RomBuilder(spec).build_zip()
+    rs, _ = zipload.load_zip_data(zip_bytes)
+    assert rs.check() == 1
+
+    dec = EmulatedDecoder()
+    dec.load_rom_set(rs)
+    dec.default_volume = 200
+    dec.soft_boot()
+    assert dec.state == rd.ST_RUNNING, dec.error_message
+    out = dec.next_samples(480)
+    assert out == [0] * 480                 # silence frames
+    dec.write_data_port(0x37)
+    dec.next_samples(240)
+    assert dec.cpu.dm[0x0810] == 0x37       # firmware serviced the port
+    # the master-volume variable was located by signature
+    assert dec.master_volume_addr == 0x0900
