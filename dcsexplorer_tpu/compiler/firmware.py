@@ -16,11 +16,14 @@ NOP = 0x000000
 RTI = 0x0A001F
 RTS = 0x0A000F
 
-AX0, AY0, AY1, AR, SR1 = 0, 4, 5, 10, 15
+AX0, AX1, AY0, AY1, SI, AR, SR0, SR1 = 0, 1, 4, 5, 8, 10, 14, 15
 BUF = 0x1000            # autobuffer DM base
 BUF_MID = BUF + 0xF0
 WPTR = 0x0803           # autobuffer write-pointer variable
 LAST_PORT = 0x0810      # last data-port byte received
+N_BYTES = 0x0820        # data-port protocol state machine position
+CMD_WORD = 0x0821       # assembling 16-bit word
+LAST_CMD = 0x0823       # last complete track command received
 VOL_VAR = 0x0900        # master volume variable (found by signature search)
 
 
@@ -50,7 +53,7 @@ def build_firmware(hw_version):
     hw_version: 2 = original DCS board (data port at PM($3000)),
     3 = DCS-95 (data port at DM($3300)).
     """
-    MAIN, IRQ2 = 0x08, 0x38
+    MAIN, IRQ2 = 0x08, 0x40
     w = {}
     w[0x00] = jump(MAIN)                     # RESET vector
     w[0x04] = jump(IRQ2)                     # IRQ2 vector
@@ -102,14 +105,106 @@ def build_firmware(hw_version):
     emit(wr_dm(0, AR, WPTR))                 # 9zzzzA
     emit(jump(TOP))                          # main loop jump (gets trapped)
 
+    assert a <= IRQ2, f"main program overran the IRQ2 handler ({a:#x})"
+
+    # ------------------------------------------------------------------
+    # IRQ2: the real byte-at-a-time data-port protocol — assemble 2-byte
+    # track commands (latched at LAST_CMD), the 4-byte $55AA master-volume
+    # command (with ~complement check, updating VOL_VAR), and the $55C2/C3
+    # version queries (replying $01/$06 on the port).
     a = IRQ2
+
+    def alu_ar(sel, xsel, ysel):
+        return 0x220000 | (sel << 13) | (ysel << 11) | (xsel << 8) | 0xF
+
+    def alu_af(sel, xsel, ysel):
+        return 0x260000 | (sel << 13) | (ysel << 11) | (xsel << 8) | 0xF
+
+    def port_write_ar():
+        if hw_version == 2:
+            # pgm memory write via DAG2 (I5/M5): PM($3000) is the port
+            return 0x580000 | (AR << 4) | 0x05
+        return wr_dm(0, AR, 0x3300)
+
+    L = {}                                    # forward labels
+    fix = []                                  # (addr, label, cond)
+
+    def jmp(label, cond=0xF):
+        fix.append((a, label, cond))
+        return 0
+
     if hw_version == 2:
-        # MAC(no-op) with pgm memory read via DAG2 (I5/M5) pops the port
-        emit(0x500000 | (AX0 << 4) | 0x05)
+        emit(0x500000 | (AX1 << 4) | 0x05)    # AX1 = PM port (MAC no-op)
     else:
-        emit(rd_dm(0, AX0, 0x3300))
-    emit(wr_dm(0, AX0, LAST_PORT))
+        emit(rd_dm(0, AX1, 0x3300))           # AX1 = port byte
+    emit(wr_dm(0, AX1, LAST_PORT))
+    emit(rd_dm(0, AY1, N_BYTES))              # AY1 = protocol position
+    emit(imm_dr(AX0, 1))
+    emit(alu_ar(7, 0, 1))                     # AR = 1 - N
+    emit(jmp("case1", cond=0))                # IF EQ
+    emit(imm_dr(AX0, 2))
+    emit(alu_ar(7, 0, 1))
+    emit(jmp("case2", cond=0))
+    emit(imm_dr(AX0, 3))
+    emit(alu_ar(7, 0, 1))
+    emit(jmp("case3", cond=0))
+    # case 0: WORD = byte << 8; N = 1
+    emit(0x0D0000 | (0 << 10) | (0 << 8) | (SI << 4) | AX1)   # SI = AX1
+    emit(0x0F0000 | (0x2 << 11) | (0 << 8) | 8)   # SR = LSHIFT SI (LO) by 8
+    emit(wr_dm(0, SR0, CMD_WORD))
+    emit(imm_dr(AR, 1))
+    emit(wr_dm(0, AR, N_BYTES))
     emit(RTI)
+
+    L["case1"] = a                            # second byte: complete word
+    emit(rd_dm(0, AY0, CMD_WORD))
+    emit(alu_ar(0xD, 1, 0))                   # AR = AX1 OR AY0  (the word)
+    emit(wr_dm(0, AR, CMD_WORD))
+    emit(imm_dr(AY0, 0x55AA))
+    emit(alu_af(7, 2, 0))                     # AF = AR - AY0
+    emit(jmp("volume", cond=0))
+    emit(imm_dr(AY0, 0x55C2))
+    emit(alu_af(7, 2, 0))
+    emit(jmp("verhi", cond=0))
+    emit(imm_dr(AY0, 0x55C3))
+    emit(alu_af(7, 2, 0))
+    emit(jmp("verlo", cond=0))
+    emit(wr_dm(0, AR, LAST_CMD))              # a plain track command
+    emit(jmp("reset"))
+    L["volume"] = a
+    emit(imm_dr(AR, 2))
+    emit(wr_dm(0, AR, N_BYTES))
+    emit(RTI)
+    L["verhi"] = a
+    emit(imm_dr(AR, 0x01))
+    emit(port_write_ar())
+    emit(jmp("reset"))
+    L["verlo"] = a
+    emit(imm_dr(AR, 0x06))
+    emit(port_write_ar())
+    emit(jmp("reset"))
+
+    L["case2"] = a                            # volume value byte
+    emit(wr_dm(0, AX1, CMD_WORD))
+    emit(imm_dr(AR, 3))
+    emit(wr_dm(0, AR, N_BYTES))
+    emit(RTI)
+
+    L["case3"] = a                            # ~complement check byte
+    emit(imm_dr(AY0, 0x00FF))
+    emit(alu_ar(0xE, 1, 0))                   # AR = AX1 XOR $FF
+    emit(rd_dm(0, AY0, CMD_WORD))
+    emit(alu_af(7, 2, 0))                     # AF = AR - WORD
+    emit(jmp("reset", cond=1))                # IF NE: bad check, drop
+    emit(alu_ar(0, 0, 0))                     # AR = PASS AY0 (the volume)
+    emit(wr_dm(0, AR, VOL_VAR))
+    L["reset"] = a
+    emit(imm_dr(AR, 0))
+    emit(wr_dm(0, AR, N_BYTES))
+    emit(RTI)
+
+    for (addr, label, cond) in fix:
+        w[addr] = jump(L[label], cond)
 
     n = max(w) + 1
     return [w.get(k, NOP) for k in range(n)]

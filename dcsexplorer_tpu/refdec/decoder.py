@@ -219,6 +219,11 @@ class ReferenceDecoder:
     def soft_boot(self):
         self.host.boot_timer_control(False)
         self.mode_sample_counter = 30000
+        # detect the system version if it hasn't been established yet
+        # (reference: DCSDecoder.cpp:1528-1533)
+        if self.rom_set is not None and not self.hw_version:
+            self.rom_set.check()
+            self.load_rom_set(self.rom_set)
         ok = self._initialize()
         # backends may return False to flag an unusable ROM
         # (reference: DCSDecoder.cpp:1536-1539)

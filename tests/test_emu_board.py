@@ -264,3 +264,45 @@ def test_compiler_roms_boot_in_emulator():
     assert dec.cpu.dm[0x0810] == 0x37       # firmware serviced the port
     # the master-volume variable was located by signature
     assert dec.master_volume_addr == 0x0900
+
+
+def _compiled_emulated():
+    from dcsexplorer_tpu.compiler import romgen
+    from dcsexplorer_tpu.rom import zipload
+    from .test_romgen import _make_spec
+    spec = _make_spec()
+    rs, _ = zipload.load_zip_data(romgen.RomBuilder(spec).build_zip())
+    dec = EmulatedDecoder()
+    dec.load_rom_set(rs)
+    dec.default_volume = 200
+    dec.soft_boot()
+    assert dec.state == rd.ST_RUNNING, dec.error_message
+    return dec
+
+
+def test_firmware_data_port_protocol():
+    """The synthesized firmware's IRQ2 handler implements the real
+    byte-at-a-time protocol: $55AA volume with ~complement check, $55C2/C3
+    version queries answered on the port, track commands latched."""
+    dec = _compiled_emulated()
+    # master volume command: 55 AA 50 AF
+    for b in (0x55, 0xAA, 0x50, 0xAF):
+        dec.write_data_port(b)
+    dec.next_samples(240)
+    assert dec.cpu.dm[0x0900] == 0x50
+    # a bad complement must NOT update the volume
+    for b in (0x55, 0xAA, 0x71, 0x00):
+        dec.write_data_port(b)
+    dec.next_samples(240)
+    assert dec.cpu.dm[0x0900] == 0x50
+    # version queries reply on the data port
+    dec.host.rx.clear()
+    for b in (0x55, 0xC2, 0x55, 0xC3):
+        dec.write_data_port(b)
+    dec.next_samples(240)
+    assert dec.host.rx == [0x01, 0x06]
+    # a plain track command latches
+    for b in (0x12, 0x34):
+        dec.write_data_port(b)
+    dec.next_samples(240)
+    assert dec.cpu.dm[0x0823] == 0x1234
