@@ -111,8 +111,14 @@ def decompress_frame_94x(stream: StreamState, frame_buf, mix):
                 xlat = T.XLAT35
             else:
                 xlat = T.XLAT6F
+            if band_type > 15:
+                # out-of-range accumulated band type: only possible on
+                # garbage input (the original reads out of its tables
+                # here); flag the error and mask, same as ops/prescan.py
+                ok = False
+                band_type &= 0xF
             band_type = int(xlat[band_type][0])
-            scale_code = cur_hdr + int(xlat[stream.band_type[band]][1])
+            scale_code = cur_hdr + int(xlat[stream.band_type[band] & 0xF][1])
 
         scale = (int(T.SCALE_MANTISSA[scale_code & 3])
                  >> (15 - ((scale_code >> 2) & 0xF)))
@@ -142,8 +148,11 @@ def decompress_frame_94x(stream: StreamState, frame_buf, mix):
                     samples.append((val - ref_val) & M16)
                 i -= 1
         else:
+            w = band_type if band_type <= 17 else 17
+            if w != band_type:
+                ok = False      # garbage width (same clamp as the prescan)
             for _ in range(out_count):
-                samples.append(bit.get_signed(band_type) & M16)
+                samples.append(bit.get_signed(w) & M16)
 
         if not ok:
             samples = [0] * out_count

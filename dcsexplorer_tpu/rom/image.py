@@ -142,9 +142,18 @@ class RomSet:
 
     # ------------------------------------------------------------------
     def add_rom(self, n, data):
-        """Register chip Un (n = 2..9) (reference: DCSDecoder.cpp:26-65)."""
+        """Register chip Un (n = 2..9) (reference: DCSDecoder.cpp:26-65).
+
+        Chip images are padded with $FF up to a power-of-2 size: real chips
+        are power-of-2 and unprogrammed flash reads $FF, and the hardware's
+        offset masking (make_pointer) requires it.  This also makes
+        truncated images fail their checksums instead of crashing."""
         if not (2 <= n <= 9) or len(data) == 0:
             return
+        # minimum 32 KB so the catalog probe offsets always exist
+        size = 1 << max(15, (len(data) - 1).bit_length())
+        if len(data) < size:
+            data = bytes(data) + b"\xff" * (size - len(data))
         i = n - 2
         self.chips[i] = data
         self.chip_sizes[i] = len(data)

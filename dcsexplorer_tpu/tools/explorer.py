@@ -256,14 +256,17 @@ def cmd_autoplay(rs, out_path, vol, backend, max_frames, terse=False):
     print(f"autoplay -> {out_path} ({pcm.size/31250.0:.1f}s)")
 
 
-def cmd_interactive(rs, out_path, vol, secs_per_cmd):
+def cmd_interactive(rs, out_path, vol, secs_per_cmd, backend="native"):
     """Hex-command REPL (counterpart of the reference's interactive mode,
     DCSExplorer.cpp:1580-1621): each line is a 16-bit hex track command, or
     'vNN' to set the master volume, or 'quit'.  The session's audio renders
     to a WAV file."""
     from ..refdec import decoder as rd
+    from ..refdec import registry
     from ..utils.player import MemorySink
-    dec = rd.ReferenceDecoder()
+    if backend in ("tpu", "scalar"):
+        backend = "native"      # interactive sessions run a live decoder
+    dec = registry.create(backend)
     dec.default_volume = vol
     dec.load_rom_set(rs)
     dec.soft_boot()
@@ -403,7 +406,7 @@ def main(argv=None):
         did = True
     if args.interactive:
         cmd_interactive(rs, args.interactive, args.vol,
-                        args.seconds_per_command)
+                        args.seconds_per_command, backend=args.backend)
         did = True
     rc = 0
     if args.validate:
