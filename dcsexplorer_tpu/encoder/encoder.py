@@ -102,11 +102,16 @@ class BitWriter:
         self.nbits = 0
 
     def write(self, val, n):
-        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.chunks.append((self.acc >> self.nbits) & 0xFF)
+        acc = (self.acc << n) | (val & ((1 << n) - 1))
+        nbits = self.nbits + n
+        chunks = self.chunks
+        while nbits >= 8:
+            nbits -= 8
+            chunks.append((acc >> nbits) & 0xFF)
+        # keep only the unflushed residue (an unbounded accumulator would
+        # make packing O(N^2) in the stream length)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def bytes(self):
         out = bytearray(self.chunks)
