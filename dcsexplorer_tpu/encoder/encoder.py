@@ -277,71 +277,104 @@ def _encode_stream(coefs, fmt_type, sub_type, params: CompressionParams):
     min_rng = params.minimum_dynamic_range * 2 * 32768.0
     err_max_per_sample = (params.maximum_quantization_error * 32768.0) ** 2
 
-    # --- per-frame band-type selection + packing
+    # --- band-type selection, vectorized over frames.  The delta-range
+    # constraint [prev-16, prev+14] ∩ [1,15] equals 1..15 for any prev ≥ 1
+    # and 1..14 for prev = 0, so per (band, preadj) we precompute the best
+    # code under both candidate sets and the cheap sequential pass merely
+    # picks by the previous frame's code.
+    def _best_codes(errs, widths, n, hi_code):
+        # errs [F, 16, P], widths [16, P] → best [F, P]
+        cand = np.zeros(16, dtype=bool)
+        cand[1:hi_code + 1] = True
+        thr = err_max_per_sample * n
+        pass_ = (errs <= thr) & cand[None, :, None]
+        wb = np.where(cand[:, None], widths, 99)[None]
+        wpass = np.where(pass_, wb, 99)
+        wmin = wpass.min(axis=1, keepdims=True)
+        has_pass = wmin < 99
+        pool = np.where(has_pass, pass_ & (wb == wmin), cand[None, :, None])
+        merr = np.where(pool, errs, np.inf)
+        return merr.argmin(axis=1)
+
+    codes = np.zeros((F, 16), dtype=np.int64)
+    padj_of = np.zeros((F, 16), dtype=np.int64)   # chosen preadj per frame
+    for b in range(bands_keep):
+        s, n = BAND_START[b], BAND_SIZES[b]
+        seg = coefs[:, s:s + n]
+        silent = (seg.max(axis=1) - seg.min(axis=1)) < min_rng
+        best15 = _best_codes(err_tabs[b], width_tabs[b], n, 15)   # [F, P]
+        best14 = _best_codes(err_tabs[b], width_tabs[b], n, 14)
+        sil = silent.tolist()
+        b15 = best15.tolist()
+        b14 = best14.tolist()
+        dep = fmt_type == 1 and b < 3
+        pmap = preadj_map.tolist()
+        prev_c = 0
+        col = codes[:, b]
+        pcol = padj_of[:, b]
+        for f in range(F):
+            if sil[f]:
+                c = 0
+                pi = pa_index[pmap[prev_c]] if dep else 0
+            else:
+                pi = pa_index[pmap[prev_c]] if dep else 0
+                c = b14[f][pi] if prev_c == 0 else b15[f][pi]
+            col[f] = c
+            pcol[f] = pmap[prev_c] if dep else 0
+            prev_c = c
+
+    # --- per-band staged sample values for the chosen codes, vectorized
+    staged = []           # per band: list-of-lists of python ints [F][n]
+    enc_info = []         # per band: (bw[F], ref[F], mask[F]) as lists
+    for b in range(bands_keep):
+        s, n = BAND_START[b], BAND_SIZES[b]
+        bw = np.zeros(F, dtype=np.int64)
+        sc = np.zeros(F, dtype=np.int64)
+        for f in range(F):          # cheap: table lookups only
+            bw[f], sc[f] = _band_coding(b, int(codes[f, b]), fmt_type,
+                                        hdr_scale[b], int(padj_of[f, b]))
+        scale = np.array([max(_scale_factor(int(c)), 1) for c in sc],
+                         dtype=np.float64)
+        q = np.round(coefs[:, s:s + n] / scale[:, None]).astype(np.int64)
+        staged.append(q.tolist())
+        ref = np.where((bw >= 1) & (bw <= 6), 1 << np.maximum(bw - 1, 0), 0)
+        mask = (1 << np.maximum(bw, 1)) - 1
+        enc_info.append((bw.tolist(), ref.tolist(), mask.tolist()))
+
+    # --- packing (frame-major, as the decoder reads it)
     w = BitWriter()
+    codes_l = codes.tolist()
     prev = [0] * 16
     for f in range(F):
-        codes = [0] * 16
+        row = codes_l[f]
         for b in range(bands_keep):
-            s, n = BAND_START[b], BAND_SIZES[b]
-            seg = coefs[f, s:s + n]
-            if float(seg.max() - seg.min()) < min_rng:
-                codes[b] = 0
-            else:
-                pi = 0
-                if fmt_type == 1 and b < 3:
-                    pi = pa_index[int(preadj_map[prev[b]])]
-                errs = err_tabs[b][f, :, pi]
-                widths = width_tabs[b][:, pi]
-                c_lo = max(1, prev[b] - 16)
-                c_hi = min(15, prev[b] + 14)
-                cand = np.arange(c_lo, c_hi + 1)
-                ce, cw = errs[cand], widths[cand]
-                passing = ce <= err_max_per_sample * n
-                if passing.any():
-                    # narrowest passing width, then lowest error among those
-                    wmin = cw[passing].min()
-                    pool = passing & (cw == wmin)
-                else:
-                    pool = np.ones(len(cand), dtype=bool)
-                masked = np.where(pool, ce, np.inf)
-                codes[b] = int(cand[int(np.argmin(masked))])
-            # write the Huffman-coded difference from the previous frame
-            cw_, nb = _DELTA_CODES[codes[b] - prev[b]]
+            cw_, nb = _DELTA_CODES[row[b] - prev[b]]
             w.write(cw_, nb)
-
-        # write the band samples
         for b in range(bands_keep):
-            c = codes[b]
-            if c == 0:
+            if row[b] == 0:
                 continue
-            pa = int(preadj_map[prev[b]]) if (fmt_type == 1 and b < 3) else 0
-            bw, sc = _band_coding(b, c, fmt_type, hdr_scale[b], pa)
+            bw, ref, mask = (enc_info[b][0][f], enc_info[b][1][f],
+                             enc_info[b][2][f])
             if bw == 0:
                 continue
-            scale = float(max(_scale_factor(sc), 1))
-            # codebook widths bias to the range midpoint; raw widths are
-            # written as plain 2's complement (reference refVal rule)
-            ref = 1 << (bw - 1) if bw <= 6 else 0
-            mask = (1 << bw) - 1
-            s, n = BAND_START[b], BAND_SIZES[b]
-            staging = np.round(coefs[f, s:s + n] / scale).astype(np.int64)
+            vals = staged[b][f]
+            n = len(vals)
             if bw <= 6:
                 by_val, two_zero = _CODEBOOK_CODES[bw]
                 i = 0
                 while i < n:
-                    v = int(staging[i])
+                    v = vals[i]
                     if (two_zero is not None and v == 0 and i + 1 < n
-                            and int(staging[i + 1]) == 0):
+                            and vals[i + 1] == 0):
                         w.write(*two_zero)
                         i += 2
                         continue
                     w.write(*by_val[(v + ref) & mask])
                     i += 1
             else:
-                for v in staging:
-                    w.write((int(v) + ref) & mask, bw)
-        prev = codes
+                for v in vals:
+                    w.write((v + ref) & mask, bw)
+        prev = row
 
     body = w.bytes()
     out = bytearray()
