@@ -515,3 +515,25 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
     coefs = analysis.analyze_frames(frames)
     stream = encode_frames(coefs.astype(np.float32), params)
     return stream, frames.shape[0]
+
+
+def encode_files(jobs, params: CompressionParams = None, os_version=None,
+                 workers=None):
+    """Encode many PCM buffers in parallel (data parallel over files,
+    each running the format-candidate search; SURVEY.md §2.5).
+
+    jobs: list of (pcm, sample_rate).  Returns list of (stream, n_frames)
+    in order.  workers defaults to the CPU count.
+    """
+    import concurrent.futures as cf
+    import os as _os
+    if params is None:
+        params = CompressionParams()
+    workers = workers or min(len(jobs), _os.cpu_count() or 1)
+    if workers <= 1 or len(jobs) <= 1:
+        return [encode_pcm(p, params, sample_rate=r, os_version=os_version)
+                for (p, r) in jobs]
+    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(encode_pcm, p, params, r, os_version)
+                for (p, r) in jobs]
+        return [f.result() for f in futs]

@@ -227,3 +227,13 @@ def test_93_encoder_device_kernel():
         golden = ref.next_samples(nf * 240)
         got = _device_decode93(stream, nf)
         assert np.array_equal(golden, got), f"93 device mismatch (t={ty})"
+
+
+def test_encode_files_batch():
+    """Data-parallel multi-file encoding returns per-file results identical
+    to individual encodes (process-parallel on multicore hosts)."""
+    jobs = [(_signal(seconds=0.3, seed=s), 31250) for s in (1, 2)]
+    out = enc.encode_files(jobs, workers=2)
+    for (pcm, rate), (stream, nf) in zip(jobs, out):
+        single = enc.encode_pcm(pcm, sample_rate=rate)
+        assert single[0] == stream and single[1] == nf
