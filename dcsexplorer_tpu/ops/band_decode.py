@@ -262,6 +262,8 @@ def dequant_mix(pos_vals, slot_ctl, mix, fb_prev=None, active=None):
     if active is not None:
         valid = valid & active[:, None]
 
+    # a zero scaled value makes the whole update an exact pass-through of
+    # the accumulator word, so masking `scaled` is the only gate needed
     scaled = (s16(pos_vals) * (scale & M16)) & M16
     scaled = jnp.where(valid, scaled, 0)
     mixprod = s16(scaled) * (mix[:, None] & M16)
@@ -270,14 +272,12 @@ def dequant_mix(pos_vals, slot_ctl, mix, fb_prev=None, active=None):
         outbuf1 = jnp.zeros((F,), jnp.int32)
         fb_prev = jnp.zeros((F, 512), jnp.int32)
         new_val = ((scaled + mixprod) >> 16) & M16
-        out_old = jnp.zeros((F, S), jnp.int32)
     else:
         outbuf1 = fb_prev[:, 1]
-        out_old = jax.lax.dynamic_slice_in_dim(fb_prev, 1, S, axis=1)
+        out_old = fb_prev[:, 1:1 + S]
         prod = ((s16(out_old) << 16) | scaled) + mixprod
         new_val = (prod >> 16) & M16
 
-    new_val = jnp.where(valid, new_val, out_old & M16)
     fb = jax.lax.dynamic_update_slice_in_dim(fb_prev, new_val, 1, axis=1)
 
     # first-sample delta fixup (only where the channel is active)
