@@ -78,12 +78,31 @@ class StreamBank:
 
     def __init__(self, os_version):
         self.os_version = os_version
+        # 94/95 family decodes ahead of time into dense arrays; the 93
+        # family decodes per session from the bitstream pool + prescan index
+        self.family93 = os_version in (rd.OS93A, rd.OS93B)
         self.keys = {}
         self._streams = []
 
     def add(self, mem, pos=0):
         key = (id(mem), pos)
         if key in self.keys:
+            return key
+        if self.family93:
+            fmt1_93a = (self.os_version == rd.OS93A
+                        and (int(mem[pos + 2]) & 0x80) != 0)
+            if fmt1_93a:
+                from ..ops import decode93a
+                idx = decode93a.prescan93a(mem, pos)
+            else:
+                from ..ops import decode93
+                idx = decode93.prescan93(mem, pos)
+            data_end = (int(idx.end_bit[-1]) // 8 + 8) if idx.n_frames \
+                else pos + 18
+            raw = np.frombuffer(bytes(mem[pos:data_end + 4]) + b"\xff" * 8,
+                                dtype=np.uint8)
+            self.keys[key] = len(self._streams)
+            self._streams.append((idx, raw, pos, fmt1_93a))
             return key
         idx = prescan.prescan94(mem, pos)
         if idx.error_frame >= 0:
@@ -97,6 +116,8 @@ class StreamBank:
     def decode_all(self):
         """Run the device symbol-decode kernel for every stream; build the
         global dense-value/slot-control arrays."""
+        if self.family93:
+            return self._build93()
         vals, scales, totals, offsets = [], [], [], {}
         total = 1  # row 0 is the silent dummy row
         for key, si in self.keys.items():
@@ -124,6 +145,81 @@ class StreamBank:
             [np.zeros(1, np.int32)] + totals, axis=0))
         self.offsets = offsets
         return self
+
+    def _build93(self):
+        """93-family: concatenate the streams into one bitstream pool and
+        stack the prescan indices into global per-frame-row arrays (row 0 =
+        silent dummy); decode runs per session in device_decode."""
+        from ..ops import decode93, decode93a
+        pool = bytearray()
+        offsets = {}
+        rows93, rows93a = [], []
+        total = 1
+        for key, si in self.keys.items():
+            idx, raw, pos, is93a = self._streams[si]
+            bit_base = len(pool) * 8 - pos * 8
+            pool += bytes(raw)
+            F = idx.n_frames
+            if is93a:
+                a = decode93a.index_arrays(idx, bit_base=bit_base)
+                rows93a.append((total, {k: np.asarray(v) for k, v in a.items()}, F))
+            else:
+                a = decode93.index_arrays(idx, bit_base=bit_base)
+                rows93.append((total, {k: np.asarray(v) for k, v in a.items()}, F))
+            offsets[key] = total
+            total += F
+
+        def stack(rows, keys_shapes):
+            out = {k: np.zeros((total,) + shp, dtype=np.int32)
+                   for k, shp in keys_shapes.items()}
+            for (base, arrs, F) in rows:
+                for k in out:
+                    out[k][base:base + F] = arrs[k]
+            return {k: jnp.asarray(v) for k, v in out.items()}
+
+        self.idx93 = stack(rows93, {
+            "kind": (16,), "width": (16,), "n_samp": (16,),
+            "bit_start": (16,), "out_start": (16,), "out_inc": (16,),
+            "scale": (16,), "prv_in": (16,), "prv_dl": (16,)})
+        self.idx93a = stack(rows93a, {
+            "bits": (decode93a.N_BANDS,),
+            "bit_start": (decode93a.N_BANDS,),
+            "scale32": (decode93a.N_BANDS,)})
+        self.has93 = bool(rows93)
+        self.has93a = bool(rows93a)
+        pool += b"\xff" * 8
+        pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
+        self.pool_words = bd.window_words(jnp.asarray(pool_bytes))
+        self.offsets = offsets
+        return self
+
+    def device_decode(self, rows, mix, vol_shift, overlap0=None):
+        """Decode T runtime frames on device for this bank's format family."""
+        if not self.family93:
+            return device_decode((self.dense, self.scale, self.total),
+                                 rows, mix, vol_shift, overlap0)
+        from ..ops import decode93, decode93a
+        rows = jnp.asarray(rows, jnp.int32)
+        mix = jnp.asarray(mix, jnp.int32)
+        vol_shift = jnp.asarray(vol_shift, jnp.int32)
+        Tn = rows.shape[0]
+        if overlap0 is None:
+            overlap0 = jnp.zeros(16, jnp.int32)
+        fb = jnp.zeros((Tn, 512), jnp.int32)
+        for c in range(rd.MAX_CHANNELS):
+            r = rows[:, c]
+            # zero-filled rows of the other kind contribute nothing, so both
+            # kernels chain unconditionally
+            if self.has93:
+                arrs = {k: v[r] for k, v in self.idx93.items()}
+                fb = decode93.decode93_frames(self.pool_words, arrs,
+                                              mix[:, c], fb_prev=fb)
+            if self.has93a:
+                arrs = {k: v[r] for k, v in self.idx93a.items()}
+                fb = decode93a.decode93a_frames(self.pool_words, arrs,
+                                                mix[:, c], fb_prev=fb)
+        raw = tf.transform93_raw(fb, vol_shift)
+        return tf.overlap_resolve93(raw, overlap0)
 
 
 def assemble_controls(tracer: ControlTracer, bank: StreamBank):
@@ -193,7 +289,6 @@ def decode_standalone(streams, os_version=rd.OS94, default_volume=0x67,
     tracer.trace_frames(n_frames, events=events)
 
     rows, mix, vol = assemble_controls(tracer, bank)
-    arrays = (bank.dense, bank.scale, bank.total)
-    pcm, _ = jax.jit(device_decode)(arrays, rows, mix, vol)
+    pcm, _ = jax.jit(bank.device_decode)(rows, mix, vol)
     pcm = np.asarray(pcm).reshape(-1)
     return ((pcm & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000

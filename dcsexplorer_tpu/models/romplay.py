@@ -47,8 +47,7 @@ def play_session(rom_set, events, n_frames, bank=None, default_volume=0x67):
     tracer.trace_frames(n_frames, events=events)
 
     rows, mix, vol = pl.assemble_controls(tracer, bank)
-    arrays = (bank.dense, bank.scale, bank.total)
-    pcm, _ = jax.jit(pl.device_decode)(arrays, rows, mix, vol)
+    pcm, _ = jax.jit(bank.device_decode)(rows, mix, vol)
     pcm = np.asarray(pcm).reshape(-1)
     return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16), tracer
 

@@ -70,3 +70,48 @@ def test_device_autoplay_matches_scalar():
     total = pcm.size // 240
     golden = _scalar_session(rs, events, total)
     assert np.array_equal(golden, pcm)
+
+
+def test_93_rom_autoplay_device_lockstep():
+    """A 93-family ROM (streams encoded by this framework's 93 encoder)
+    plays through the TPU session path bit-exactly vs the scalar decoder."""
+    import numpy as np
+    from dcsexplorer_tpu.compiler import romgen
+    from dcsexplorer_tpu.encoder import encoder as enc
+    from dcsexplorer_tpu.models import romplay
+    from dcsexplorer_tpu.refdec import decoder as rd
+    from dcsexplorer_tpu.rom import zipload
+    from .test_romgen import _make_spec
+
+    spec = _make_spec()
+    spec.os_version = rd.OS93B
+    t = np.arange(31250) / 31250.0
+    for k, name in enumerate(list(spec.streams)):
+        sig = (5000 * np.sin(2 * np.pi * (400 + 150 * k) * t)).astype(np.float32)
+        spec.streams[name], _ = enc.encode_pcm(sig, os_version=rd.OS93B)
+    rs, _ = zipload.load_zip_data(romgen.RomBuilder(spec).build_zip())
+    assert rs.check() == 1 and rs.os_version == rd.OS93B
+
+    pcm, sched, _ = romplay.autoplay(rs, max_frames_per_track=60,
+                                     return_tracer=True)
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = 0x67
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    events = {}
+    for (tno, frame, _) in sched:
+        def mk(track):
+            def ev(d):
+                d.clear_tracks()
+                d.write_data_port((track >> 8) & 0xFF)
+                d.write_data_port(track & 0xFF)
+            return ev
+        events[frame] = mk(tno)
+    golden = []
+    for f in range(pcm.size // 240):
+        if f in events:
+            events[f](dec)
+        golden.extend(dec.next_samples(240))
+    golden = np.array(golden, dtype=np.int16)
+    assert np.abs(pcm).max() > 0          # actually played audio
+    assert np.array_equal(golden, pcm)
