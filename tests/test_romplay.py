@@ -115,3 +115,52 @@ def test_93_rom_autoplay_device_lockstep():
     golden = np.array(golden, dtype=np.int16)
     assert np.abs(pcm).max() > 0          # actually played audio
     assert np.array_equal(golden, pcm)
+
+
+def test_93a_mixed_rom_autoplay_device_lockstep():
+    """An OS93a ROM mixing a Type-1 (pair-table) stream with a format-0
+    stream exercises both 93-family kernels chained per channel."""
+    import numpy as np
+    from dcsexplorer_tpu.compiler import romgen
+    from dcsexplorer_tpu.encoder import encoder as enc
+    from dcsexplorer_tpu.models import romplay
+    from dcsexplorer_tpu.refdec import decoder as rd
+    from dcsexplorer_tpu.rom import zipload
+    from .test_format93 import build_stream93a_type1
+    from .test_romgen import _make_spec
+
+    spec = _make_spec()
+    spec.os_version = rd.OS93A
+    t = np.arange(31250 // 2) / 31250.0
+    names = list(spec.streams)
+    sig = (5000 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    spec.streams[names[0]], _ = enc.encode_pcm(
+        sig, enc.CompressionParams(stream_format_type=0), os_version=rd.OS93A)
+    spec.streams[names[1]] = build_stream93a_type1(
+        n_frames=20, n_bands=10, selector=1, seed=5)
+    rs, _ = zipload.load_zip_data(romgen.RomBuilder(spec).build_zip())
+    assert rs.check() == 1 and rs.os_version == rd.OS93A
+
+    pcm, sched, _ = romplay.autoplay(rs, max_frames_per_track=60,
+                                     return_tracer=True)
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = 0x67
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    events = {}
+    for (tno, frame, _) in sched:
+        def mk(track):
+            def ev(d):
+                d.clear_tracks()
+                d.write_data_port((track >> 8) & 0xFF)
+                d.write_data_port(track & 0xFF)
+            return ev
+        events[frame] = mk(tno)
+    golden = []
+    for f in range(pcm.size // 240):
+        if f in events:
+            events[f](dec)
+        golden.extend(dec.next_samples(240))
+    golden = np.array(golden, dtype=np.int16)
+    assert np.abs(pcm).max() > 0
+    assert np.array_equal(golden, pcm)
