@@ -48,9 +48,15 @@ def build_parser():
     p.add_argument("--dasm", metavar="RANGE", nargs="?", const="0:0x2000",
                    help="disassemble U2 (RANGE as start:end word addrs, "
                         "default 0:0x2000)")
-    p.add_argument("--validate", action="store_true",
+    p.add_argument("--validate", nargs="?", const=True, metavar="LOG",
                    help="lockstep-validate the TPU pipeline against the "
-                        "scalar reference decoder over an autoplay sweep")
+                        "scalar reference decoder over an autoplay sweep; "
+                        "optionally write the report to LOG")
+    p.add_argument("--ignore-checksum-errors", action="store_true",
+                   help="decode even when the ROM fails its POST checks")
+    p.add_argument("--silent", action="store_true",
+                   help="accepted for reference-CLI compatibility (this "
+                        "tool always renders to files, never a device)")
     p.add_argument("--backend", default="tpu",
                    help="decode backend for extraction/autoplay: 'tpu' "
                         "(batched device pipeline) or any registered "
@@ -303,7 +309,7 @@ def cmd_interactive(rs, out_path, vol, secs_per_cmd, backend="native"):
     print(f"session audio -> {out_path} ({sink.data().size / 31250.0:.1f}s)")
 
 
-def cmd_validate(rs, vol, max_frames):
+def cmd_validate(rs, vol, max_frames, log_path=None):
     """Lockstep: TPU pipeline vs scalar reference over an autoplay sweep
     (mirrors the reference's --validate, DCSExplorer.cpp:1338-1566)."""
     from ..models import romplay
@@ -336,19 +342,22 @@ def cmd_validate(rs, vol, max_frames):
     # DCS->host data-port history must match as well (reference compares
     # both PCM and the data-port bytes, DCSExplorer.cpp:1440-1481)
     port_ok = list(tracer.host.rx) == list(dec.host.rx)
-    print(f"Samples compared: {golden.size}")
-    print(f"Sample mismatches: {mism.size} in {frames_bad.size} frames")
-    print(f"Data port bytes: {len(dec.host.rx)} "
-          f"({'match' if port_ok else 'MISMATCH'})")
-    if mism.size or not port_ok:
-        if mism.size:
-            i = int(mism[0])
-            print(f"First diff at sample {i} (frame {i//240}): "
-                  f"scalar={golden[i]} tpu={pcm[i]}")
-        print("Validation FAILED")
-        return 1
-    print("Validation Succeeded")
-    return 0
+    lines = [f"Samples compared: {golden.size}",
+             f"Sample mismatches: {mism.size} in {frames_bad.size} frames",
+             f"Data port bytes: {len(dec.host.rx)} "
+             f"({'match' if port_ok else 'MISMATCH'})"]
+    failed = bool(mism.size) or not port_ok
+    if mism.size:
+        i = int(mism[0])
+        lines.append(f"First diff at sample {i} (frame {i//240}): "
+                     f"scalar={golden[i]} tpu={pcm[i]}")
+    lines.append("Validation FAILED" if failed else "Validation Succeeded")
+    for ln in lines:
+        print(ln)
+    if log_path:
+        with open(log_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return 1 if failed else 0
 
 
 def main(argv=None):
@@ -379,7 +388,23 @@ def main(argv=None):
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    decode_requested = bool(args.extract_tracks or args.extract_streams
+                            or args.autoplay or args.interactive
+                            or args.validate)
+    if status != 1 and decode_requested and not args.ignore_checksum_errors:
+        print(f"error: ROM failed its POST checks (code {status}); use "
+              "--ignore-checksum-errors to decode anyway", file=sys.stderr)
+        return 1
 
+    try:
+        return _dispatch(args, rs, assigned, status)
+    except ValueError as e:
+        # corrupt ROM data surfaces as stream/parse errors; report cleanly
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args, rs, assigned, status):
     did = False
     if args.tracks or args.programs:
         cmd_tracks(rs, programs=args.programs)
@@ -410,7 +435,9 @@ def main(argv=None):
         did = True
     rc = 0
     if args.validate:
-        rc = cmd_validate(rs, args.vol, args.max_track_frames)
+        log = args.validate if isinstance(args.validate, str) else None
+        rc = cmd_validate(rs, args.vol, args.max_track_frames,
+                          log_path=log)
         did = True
     if args.info or not did:
         cmd_info(rs, assigned, status)
