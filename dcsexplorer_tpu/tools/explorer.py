@@ -36,7 +36,11 @@ def build_parser():
     p.add_argument("--extract-tracks", metavar="PREFIX",
                    help="decode every type-1 track to PREFIXnnnn.wav")
     p.add_argument("--extract-streams", metavar="PREFIX",
-                   help="extract streams: PREFIXaddr.wav + PREFIXaddr.dcs")
+                   help="extract streams: PREFIXaddr.wav and/or PREFIXaddr.dcs")
+    p.add_argument("--extract-format", choices=("wav", "raw", "both"),
+                   default="both",
+                   help="stream extract format (reference: wav|raw; "
+                        "default both)")
     p.add_argument("--autoplay", metavar="OUT.wav",
                    help="autoplay sweep of all tracks to one WAV")
     p.add_argument("--interactive", metavar="OUT.wav", nargs="?",
@@ -219,7 +223,7 @@ def cmd_extract_tracks(rs, prefix, vol, backend, max_frames):
         print(f"track ${t:04X} -> {path} ({pcm.size} samples)")
 
 
-def cmd_extract_streams(rs, prefix, vol, backend):
+def cmd_extract_streams(rs, prefix, vol, backend, fmt="both"):
     from ..rom import tracks as rtracks
     from ..ops import prescan
     from ..refdec import decoder as rd
@@ -229,7 +233,11 @@ def cmd_extract_streams(rs, prefix, vol, backend):
         idx = prescan.prescan94(p.mem, p.pos)
         n_bytes = int(idx.end_bit[-1] // 8 - p.pos + 4) if idx.n_frames else 18
         raw = bytes(p.mem[p.pos:p.pos + n_bytes])
-        audioio.write_dcs_raw(f"{prefix}{addr:06x}.dcs", raw, rs.os_version)
+        if fmt in ("raw", "both"):
+            audioio.write_dcs_raw(f"{prefix}{addr:06x}.dcs", raw, rs.os_version)
+        if fmt == "raw":
+            print(f"stream ${addr:06X} -> {prefix}{addr:06x}.dcs")
+            continue
 
         dec = rd.ReferenceDecoder()
         dec.default_volume = vol
@@ -423,7 +431,8 @@ def _dispatch(args, rs, assigned, status):
                            args.max_track_frames)
         did = True
     if args.extract_streams:
-        cmd_extract_streams(rs, args.extract_streams, args.vol, args.backend)
+        cmd_extract_streams(rs, args.extract_streams, args.vol, args.backend,
+                            fmt=args.extract_format)
         did = True
     if args.autoplay:
         cmd_autoplay(rs, args.autoplay, args.vol, args.backend,
