@@ -122,6 +122,24 @@ def cmd_tracks(rs, programs=False):
             print(rtracks.explain_track(rs, rs.os_version, t, "    "))
 
 
+def _stream_index(rs, mem, pos):
+    """Family-aware stream prescan: (n_frames, end_bit, fmt_desc)."""
+    from ..ops import prescan
+    from ..refdec import decoder as rd
+    if rs.os_version in (rd.OS93A, rd.OS93B):
+        if rs.os_version == rd.OS93A and (int(mem[pos + 2]) & 0x80) != 0:
+            from ..ops import decode93a
+            idx = decode93a.prescan93a(mem, pos)
+            return idx.n_frames, int(idx.end_bit[-1]) if idx.n_frames else 0, "93a-T1"
+        from ..ops import decode93
+        idx = decode93.prescan93(mem, pos)
+        return idx.n_frames, int(idx.end_bit[-1]) if idx.n_frames else 0, \
+            f"93/{idx.fmt_type}"
+    idx = prescan.prescan94(mem, pos)
+    return idx.n_frames, int(idx.end_bit[-1]) if idx.n_frames else 0, \
+        f"{idx.fmt_type}/{idx.sub_type}"
+
+
 def cmd_streams(rs):
     from ..rom import tracks as rtracks
     from ..ops import prescan
@@ -130,17 +148,17 @@ def cmd_streams(rs):
     for addr in rtracks.list_streams(rs, rs.os_version):
         p = rs.make_pointer(addr)
         try:
-            idx = prescan.prescan94(p.mem, p.pos)
-            n_bytes = int(idx.end_bit[-1] // 8 - p.pos + 1) if idx.n_frames else 18
-            secs = idx.n_frames * 240 / 31250.0
-            pcm_bytes = idx.n_frames * 240 * 2
+            n_frames, end_bit, fdesc = _stream_index(rs, p.mem, p.pos)
+            n_bytes = (end_bit // 8 - p.pos + 1) if n_frames else 18
+            secs = n_frames * 240 / 31250.0
+            pcm_bytes = n_frames * 240 * 2
             ratio = pcm_bytes / max(1, n_bytes)
             kbps = n_bytes * 8 / max(secs, 1e-9) / 1000.0
-            print(f"${addr:06X}: {idx.n_frames:5d} frames {secs:7.2f}s "
-                  f"{n_bytes:7d} bytes  type {idx.fmt_type}/{idx.sub_type}"
+            print(f"${addr:06X}: {n_frames:5d} frames {secs:7.2f}s "
+                  f"{n_bytes:7d} bytes  type {fdesc}"
                   f"  {kbps:6.1f} kbps  {ratio:4.1f}:1")
             total_bytes += n_bytes
-            total_frames += idx.n_frames
+            total_frames += n_frames
         except Exception as e:
             print(f"${addr:06X}: <error: {e}>")
     secs = total_frames * 240 / 31250.0
@@ -230,8 +248,8 @@ def cmd_extract_streams(rs, prefix, vol, backend, fmt="both"):
     from ..utils import audioio
     for addr in rtracks.list_streams(rs, rs.os_version):
         p = rs.make_pointer(addr)
-        idx = prescan.prescan94(p.mem, p.pos)
-        n_bytes = int(idx.end_bit[-1] // 8 - p.pos + 4) if idx.n_frames else 18
+        n_frames, end_bit, _ = _stream_index(rs, p.mem, p.pos)
+        n_bytes = (end_bit // 8 - p.pos + 4) if n_frames else 18
         raw = bytes(p.mem[p.pos:p.pos + n_bytes])
         if fmt in ("raw", "both"):
             audioio.write_dcs_raw(f"{prefix}{addr:06x}.dcs", raw, rs.os_version)
@@ -244,10 +262,10 @@ def cmd_extract_streams(rs, prefix, vol, backend, fmt="both"):
         dec.init_standalone(rs.os_version)
         dec.soft_boot()
         dec.load_audio_stream(0, raw, mixing_level=0x64)
-        pcm = np.array(dec.next_samples((idx.n_frames + 2) * 240), dtype=np.int16)
+        pcm = np.array(dec.next_samples((n_frames + 2) * 240), dtype=np.int16)
         audioio.write_wav(f"{prefix}{addr:06x}.wav", pcm)
         print(f"stream ${addr:06X} -> {prefix}{addr:06x}.wav/.dcs "
-              f"({idx.n_frames} frames)")
+              f"({n_frames} frames)")
 
 
 def cmd_autoplay(rs, out_path, vol, backend, max_frames, terse=False):
