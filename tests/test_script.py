@@ -119,3 +119,44 @@ def test_script_errors():
     # without a prototype import the file lookup (or the missing prototype
     # stream) must produce a clear error
     assert "not found" in str(e.value) or "prototype" in str(e.value)
+
+
+def test_example_script_compiles_and_validates():
+    """The committed example script (assets/example.dcss, SCRIPTING.md)
+    builds a ROM that passes POST and plays bit-exactly on device."""
+    import os
+    import numpy as np
+    from dcsexplorer_tpu.compiler import script as cscript
+    from dcsexplorer_tpu.models import romplay
+    from dcsexplorer_tpu.refdec import decoder as rd
+    from dcsexplorer_tpu.rom import zipload
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "assets", "example.dcss")
+    zip_bytes, report = cscript.compile_script_file(path)
+    assert "Tracks: 5" in report
+    rs, _ = zipload.load_zip_data(zip_bytes)
+    assert rs.check() == 1
+
+    pcm, sched, _ = romplay.autoplay(rs, max_frames_per_track=80,
+                                     return_tracer=True)
+    assert np.abs(pcm).max() > 100
+    dec = rd.ReferenceDecoder()
+    dec.default_volume = 0x67
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    events = {}
+    for (tno, frame, _) in sched:
+        def mk(track):
+            def ev(d):
+                d.clear_tracks()
+                d.write_data_port((track >> 8) & 0xFF)
+                d.write_data_port(track & 0xFF)
+            return ev
+        events[frame] = mk(tno)
+    golden = []
+    for f in range(pcm.size // 240):
+        if f in events:
+            events[f](dec)
+        golden.extend(dec.next_samples(240))
+    assert np.array_equal(np.array(golden, dtype=np.int16), pcm)
