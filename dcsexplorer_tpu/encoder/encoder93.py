@@ -161,23 +161,51 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
     w = BitWriter()
     frame_codes = [0] * 16            # frame-to-frame memory (Type 1)
 
+    # --- per-band precomputation, vectorized over frames: the quantized
+    # samples and the subtype-0 candidate search.  Widths grow strictly
+    # with the code, so "narrowest passing width then lowest error" is
+    # simply the lowest passing code (else the first min-error code);
+    # the Type-1 delta-range constraint only ever excludes code 15
+    # (when the previous frame's code was 0 under the 'keep' family).
+    q0_l, best_full, best_no15, allzero = [], [], [], []
+    for b in range(bands_keep):
+        s, n = band_start[b], counts[b]
+        seg = tx[:, s:s + n]
+        scale = float(max(_scale_factor(hdr_scale[b]), 1))
+        q0 = np.round(seg / scale).astype(np.int64)
+        q0_l.append(q0.tolist())
+        allzero.append((~np.any(q0, axis=1)).tolist())
+        widths = np.arange(1, 16) + (1 if fmt_type == 0 else 0)
+        ref = 1 << (widths - 1)
+        mask = (1 << widths) - 1
+        stored = (q0[:, :, None] + ref[None, None]) & mask[None, None]
+        recon = (stored - ref[None, None]) * scale
+        err = np.sum((recon - seg[:, :, None]) ** 2, axis=1)      # [F, 15]
+        ok = err <= max_err * max_err * n
+
+        def pick(okc, errc):
+            any_ok = okc.any(axis=1)
+            first_ok = okc.argmax(axis=1)
+            return np.where(any_ok, first_ok, errc.argmin(axis=1)) + 1
+
+        best_full.append(pick(ok, err).tolist())
+        best_no15.append(pick(ok[:, :14], err[:, :14]).tolist())
+
     for f in range(F):
         last_code = -1
         last_sub = 0 if fmt_type == 1 else 2
         prv_sample = 0
         prv_delta = 0
         for b in range(bands_keep):
-            s, n = band_start[b], counts[b]
-            seg = tx[f, s:s + n]
-            scale = float(max(_scale_factor(hdr_scale[b]), 1))
+            n = counts[b]
 
             # candidate codings in the decoder's unscaled integer domain
-            buf0 = np.round(seg / scale).astype(np.int64)
-            buf1 = np.empty(n, dtype=np.int64)
-            buf2 = np.empty(n, dtype=np.int64)
+            buf0 = q0_l[b][f]
+            buf1 = [0] * n
+            buf2 = [0] * n
             ps, pd = prv_sample, prv_delta
             for i in range(n):
-                cur = int(buf0[i])
+                cur = buf0[i]
                 buf1[i] = cur - ps
                 buf2[i] = cur - ps - pd
                 pd = buf1[i]
@@ -192,12 +220,11 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
                 return frame_codes[b] - 16, frame_codes[b] + 15
 
             lo0, hi0 = code_range(0)
-            code0 = _best_direct_code(seg, fmt_type, scale, lo0, hi0,
-                                      max_err)
+            code0 = (best_no15[b][f] if hi0 <= 14 else best_full[b][f])
             code1 = _delta_band_code(buf1, fmt_type)
             code2 = _delta_band_code(buf2, fmt_type)
             # subtype-0 silence: a zero band code only if truly all zero
-            if np.all(buf0 == 0):
+            if allzero[b][f]:
                 code0 = 0
 
             new_code, new_sub = code0, 0
@@ -247,7 +274,7 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
                     buf = (buf0, buf1, buf2)[new_sub]
                     lim = 1 << (width - 1)
                     for i in range(n):
-                        v = int(np.clip(buf[i], -lim, lim - 1))
+                        v = min(max(buf[i], -lim), lim - 1)
                         w.write(v & mask, width)
                     # track what the decoder reconstructs (s16 wrap domain)
                     def w16s(x):
@@ -255,7 +282,7 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
 
                     ps, pd = prv_frame_sample, prv_frame_delta
                     for i in range(n):
-                        v = int(np.clip(buf[i], -lim, lim - 1))
+                        v = min(max(buf[i], -lim), lim - 1)
                         if new_sub == 0:
                             pd = w16s(v - ps)
                             ps = v
