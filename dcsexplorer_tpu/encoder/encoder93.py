@@ -75,30 +75,6 @@ def _delta_band_code(vals, fmt_type):
     return nbits - (1 if fmt_type == 0 else 0)
 
 
-def _best_direct_code(seg, fmt_type, scale, lo, hi, max_err, min_code=1):
-    """Reference-style round-trip search over band codes for subtype 0."""
-    best = None
-    narrowest_pass = None
-    results = []
-    for code in range(max(min_code, lo), min(15, hi) + 1):
-        width = code + (1 if fmt_type == 0 else 0)
-        ref = 1 << (width - 1)
-        mask = (1 << width) - 1
-        stored = (np.round(seg / scale).astype(np.int64) + ref) & mask
-        recon = (stored - ref) * scale
-        err = float(np.sum((recon - seg) ** 2))
-        ok = err <= max_err * max_err * len(seg)
-        results.append((code, width, err, ok))
-        if ok and (narrowest_pass is None or width < narrowest_pass):
-            narrowest_pass = width
-    pool = [r for r in results if narrowest_pass is None
-            or (r[3] and r[1] == narrowest_pass)]
-    for r in pool:
-        if best is None or r[2] < best[2]:
-            best = r
-    return best[0] if best else max(min_code, lo)
-
-
 def encode_stream93(coefs, fmt_type, params: CompressionParams,
                     os93a=False):
     """Encode [F, 254] coefficients (fb slots 2..255) into a 93 stream.

@@ -193,6 +193,13 @@ class StreamBank:
         self.offsets = offsets
         return self
 
+    def jitted(self):
+        """A cached jit of device_decode (reused across sessions so each
+        new session with the same bank skips retracing)."""
+        if not hasattr(self, "_jitted"):
+            self._jitted = jax.jit(self.device_decode)
+        return self._jitted
+
     def device_decode(self, rows, mix, vol_shift, overlap0=None):
         """Decode T runtime frames on device for this bank's format family."""
         if not self.family93:

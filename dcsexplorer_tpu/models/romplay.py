@@ -47,7 +47,7 @@ def play_session(rom_set, events, n_frames, bank=None, default_volume=0x67):
     tracer.trace_frames(n_frames, events=events)
 
     rows, mix, vol = pl.assemble_controls(tracer, bank)
-    pcm, _ = jax.jit(bank.device_decode)(rows, mix, vol)
+    pcm, _ = bank.jitted()(rows, mix, vol)
     pcm = np.asarray(pcm).reshape(-1)
     return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16), tracer
 

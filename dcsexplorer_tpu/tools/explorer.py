@@ -176,7 +176,7 @@ def cmd_ditables(rs):
         print(f"Var ${vid:02X}: max value {mx}")
 
 
-def _decode_track(rs, track, vol, backend, max_frames):
+def _decode_track(rs, track, vol, backend, max_frames, bank=None):
     from ..models import romplay
     from ..refdec import decoder as rd
     from ..rom import tracks as rtracks
@@ -185,7 +185,8 @@ def _decode_track(rs, track, vol, backend, max_frames):
     events = {0: (lambda dec: (dec.write_data_port((track >> 8) & 0xFF),
                                dec.write_data_port(track & 0xFF)))}
     if backend == "tpu":
-        pcm, _ = romplay.play_session(rs, events, n, default_volume=vol)
+        pcm, _ = romplay.play_session(rs, events, n, default_volume=vol,
+                                      bank=bank)
         return pcm
     from ..refdec import registry
     if backend == "scalar":
@@ -229,13 +230,15 @@ def cmd_dasm(rs, range_spec):
 
 
 def cmd_extract_tracks(rs, prefix, vol, backend, max_frames):
+    from ..models import romplay
     from ..rom import tracks as rtracks
     from ..utils import audioio
+    bank = romplay.build_rom_bank(rs) if backend == "tpu" else None
     for t in range(rs.n_tracks):
         ti = rtracks.get_track_info(rs, rs.os_version, t)
         if ti is None or ti.type != 1 or ti.time == 0:
             continue
-        pcm = _decode_track(rs, t, vol, backend, max_frames)
+        pcm = _decode_track(rs, t, vol, backend, max_frames, bank=bank)
         path = f"{prefix}{t:04x}.wav"
         audioio.write_wav(path, pcm)
         print(f"track ${t:04X} -> {path} ({pcm.size} samples)")
