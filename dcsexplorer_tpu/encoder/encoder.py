@@ -526,6 +526,7 @@ def encode_files(jobs, params: CompressionParams = None, os_version=None,
     in order.  workers defaults to the CPU count.
     """
     import concurrent.futures as cf
+    import multiprocessing as _mp
     import os as _os
     if params is None:
         params = CompressionParams()
@@ -533,7 +534,10 @@ def encode_files(jobs, params: CompressionParams = None, os_version=None,
     if workers <= 1 or len(jobs) <= 1:
         return [encode_pcm(p, params, sample_rate=r, os_version=os_version)
                 for (p, r) in jobs]
-    with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+    # spawn, not fork: the parent may hold JAX's thread pools, and forking
+    # a multithreaded process can deadlock the children
+    ctx = _mp.get_context("spawn")
+    with cf.ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
         futs = [ex.submit(encode_pcm, p, params, r, os_version)
                 for (p, r) in jobs]
         return [f.result() for f in futs]
