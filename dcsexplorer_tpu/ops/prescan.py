@@ -46,8 +46,29 @@ def _cursor(bit: BitReader) -> int:
 
 
 
-def prescan94(mem, pos=0):
-    """Index a 1994+ format stream starting at ``pos`` (U16 frame count)."""
+def prescan94(mem, pos=0, prefer_native=True):
+    """Index a 1994+ format stream starting at ``pos`` (U16 frame count).
+
+    Uses the C++ host runtime when available (same index, ~50× faster);
+    streams with errors fall back to the Python walker so the garbage
+    handling stays byte-identical."""
+    if prefer_native:
+        try:
+            from .. import native
+            raw = mem.mem if isinstance(mem, PaddedView) else mem
+            nd = native.decode_dense(bytes(raw) + b"\xff" * 8, pos,
+                                     want_controls=False)
+        except Exception:
+            nd = None
+        if nd is not None and nd.error_frame < 0:
+            return StreamIndex(
+                n_frames=nd.n_frames,
+                header=np.asarray(nd.header, dtype=np.int64),
+                fmt_type=nd.fmt_type, sub_type=nd.sub_type,
+                start_bit=nd.start_bit.astype(np.int64),
+                band_type=nd.band_type, band_type_prev=nd.band_type_prev,
+                end_bit=nd.end_bit.astype(np.int64),
+                n_symbols=None, error_frame=-1)
     mem = PaddedView(mem)
     n_frames = (int(mem[pos]) << 8) | int(mem[pos + 1])
     hdr_pos = pos + 2
