@@ -48,6 +48,10 @@ def get_lib():
         C.c_char_p, C.c_int, C.c_int,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p,
         C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p, C.c_void_p]
+    lib.dcs93_index.restype = C.c_int
+    lib.dcs93_index.argtypes = [C.c_char_p, C.c_int, C.c_int] + [C.c_void_p] * 11
+    lib.dcs93a_index.restype = C.c_int
+    lib.dcs93a_index.argtypes = [C.c_char_p, C.c_int, C.c_int] + [C.c_void_p] * 5
     _lib = lib
     return _lib
 
@@ -100,6 +104,74 @@ def decode_dense(stream, pos=0, want_controls=True):
     r.fmt_type, r.sub_type, r.error_frame, r.max_symbols = (
         int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]))
     return r
+
+
+def index93(stream, pos=0):
+    """Index a 93-format stream natively; field-identical to
+    ops/decode93.prescan93.  Returns None if unavailable or if the walker
+    bails on a garbage bit width (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(stream) + b"\xff" * 8
+    F = lib.dcs94_frame_count(buf, len(buf), pos)
+    if F < 0:
+        raise ValueError("stream too short")
+    meta = np.zeros(1, dtype=np.int32)
+    z32 = lambda: np.zeros((F, 16), dtype=np.int32)
+    kind, width, n_samp = z32(), z32(), z32()
+    out_start, out_inc, scale = z32(), z32(), z32()
+    prv_in, prv_dl = z32(), z32()
+    bit_start = np.zeros((F, 16), dtype=np.int64)
+    end_bit = np.zeros(F, dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(C.c_void_p)
+
+    rc = lib.dcs93_index(buf, len(buf), pos, p(meta), p(kind), p(width),
+                         p(n_samp), p(bit_start), p(out_start), p(out_inc),
+                         p(scale), p(prv_in), p(prv_dl), p(end_bit))
+    if rc == -2:
+        return None
+    if rc != 0:
+        raise RuntimeError(f"native 93 index failed: {rc}")
+    from ..ops.decode93 import Stream93Index
+    to64 = lambda a: a.astype(np.int64)
+    return Stream93Index(
+        n_frames=F, fmt_type=int(meta[0]), kind=to64(kind),
+        width=to64(width), n_samp=to64(n_samp), bit_start=bit_start,
+        out_start=to64(out_start), out_inc=to64(out_inc), scale=to64(scale),
+        prv_in=to64(prv_in), prv_dl=to64(prv_dl), end_bit=end_bit)
+
+
+def index93a(stream, pos=0):
+    """Index an OS93a Type-1 stream natively; field-identical to
+    ops/decode93a.prescan93a."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(stream) + b"\xff" * 8
+    F = lib.dcs94_frame_count(buf, len(buf), pos)
+    if F < 0:
+        raise ValueError("stream too short")
+    meta = np.zeros(1, dtype=np.int32)
+    bits = np.zeros((F, 18), dtype=np.int32)
+    scale32 = np.zeros((F, 18), dtype=np.int32)
+    bit_start = np.zeros((F, 18), dtype=np.int64)
+    end_bit = np.zeros(F, dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(C.c_void_p)
+
+    rc = lib.dcs93a_index(buf, len(buf), pos, p(meta), p(bits), p(bit_start),
+                          p(scale32), p(end_bit))
+    if rc != 0:
+        raise RuntimeError(f"native 93a index failed: {rc}")
+    from ..ops.decode93a import Stream93aIndex
+    return Stream93aIndex(
+        n_frames=F, selector=int(meta[0]), bits=bits.astype(np.int64),
+        bit_start=bit_start,
+        scale32=scale32.astype(np.int64) & 0xFFFFFFFF, end_bit=end_bit)
 
 
 def decode_dense_batch(streams, workers=None):

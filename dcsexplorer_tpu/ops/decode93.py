@@ -44,8 +44,20 @@ class Stream93Index:
     end_bit: np.ndarray     # [F]
 
 
-def prescan93(mem, pos=0):
-    """Walk a 93-format stream, recording per-band decode controls."""
+def prescan93(mem, pos=0, prefer_native=True):
+    """Walk a 93-format stream, recording per-band decode controls.
+
+    Uses the C++ host runtime when available (native/src/dcs_native.cpp
+    dcs93_index, field-identical); falls back to this Python walker."""
+    if prefer_native:
+        try:
+            from .. import native
+            raw = mem.mem if isinstance(mem, PaddedView) else mem
+            nd = native.index93(bytes(raw), pos)
+        except Exception:
+            nd = None
+        if nd is not None:
+            return nd
     mem = PaddedView(mem)
     n_frames = (int(mem[pos]) << 8) | int(mem[pos + 1])
     hdr_pos = pos + 2

@@ -41,8 +41,20 @@ class Stream93aIndex:
     end_bit: np.ndarray     # [F]
 
 
-def prescan93a(mem, pos=0):
-    """Walk an OS93a Type-1 stream, recording per-band decode controls."""
+def prescan93a(mem, pos=0, prefer_native=True):
+    """Walk an OS93a Type-1 stream, recording per-band decode controls.
+
+    Uses the C++ host runtime when available (native/src/dcs_native.cpp
+    dcs93a_index, field-identical); falls back to this Python walker."""
+    if prefer_native:
+        try:
+            from .. import native
+            raw = mem.mem if isinstance(mem, PaddedView) else mem
+            nd = native.index93a(bytes(raw), pos)
+        except Exception:
+            nd = None
+        if nd is not None:
+            return nd
     mem = PaddedView(mem)
     n_frames = (int(mem[pos]) << 8) | int(mem[pos + 1])
     hdr = int(mem[pos + 2])

@@ -83,3 +83,47 @@ def test_native_hybrid_pcm_bit_exact():
         ref.load_stream(s, channel=0, mixing_level=0x64)
         golden = ref.next_samples(F * 240)
         assert np.array_equal(golden, got), "hybrid PCM mismatch"
+
+
+def _idx93_fields(a, b):
+    for fld in ("kind", "width", "n_samp", "bit_start", "out_start",
+                "out_inc", "scale", "prv_in", "prv_dl", "end_bit"):
+        ga, gb = getattr(a, fld), getattr(b, fld)
+        assert np.array_equal(ga, gb), f"93 index field {fld} differs"
+
+
+def test_native_index93_matches_python():
+    _require_native()
+    from dcsexplorer_tpu import native as nat
+    from dcsexplorer_tpu.ops import decode93
+    from .test_format93 import build_stream93_fmt0, build_stream93_fmt1
+
+    for builder in (build_stream93_fmt0, build_stream93_fmt1):
+        for seed in range(6):
+            s = builder(n_frames=20, n_bands=9, seed=seed)
+            got = nat.index93(s, 0)
+            assert got is not None
+            ref = decode93.prescan93(s, 0, prefer_native=False)
+            assert got.n_frames == ref.n_frames
+            assert got.fmt_type == ref.fmt_type
+            _idx93_fields(got, ref)
+
+
+def test_native_index93a_matches_python():
+    _require_native()
+    from dcsexplorer_tpu import native as nat
+    from dcsexplorer_tpu.ops import decode93a
+    from .test_format93 import build_stream93a_type1
+
+    for selector in (0, 1, 2, 3):
+        for seed in range(4):
+            s = build_stream93a_type1(n_frames=16, n_bands=12,
+                                      selector=selector, seed=seed)
+            got = nat.index93a(s, 0)
+            assert got is not None
+            ref = decode93a.prescan93a(s, 0, prefer_native=False)
+            assert got.n_frames == ref.n_frames
+            assert got.selector == ref.selector
+            for fld in ("bits", "bit_start", "scale32", "end_bit"):
+                assert np.array_equal(getattr(got, fld), getattr(ref, fld)), \
+                    f"93a index field {fld} differs"
