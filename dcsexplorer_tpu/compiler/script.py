@@ -121,9 +121,14 @@ class ScriptCompiler:
         if not os.path.exists(full):
             raise ScriptError(f"audio file not found: {full}")
         if audioio.is_dcs_raw(full):
-            stream, _ = audioio.read_dcs_raw(full)
-            nf = (stream[0] << 8) | stream[1]
-            return bytes(stream), nf
+            stream, osv = audioio.read_dcs_raw(full)
+            if osv == self.spec.os_version:
+                nf = (stream[0] << 8) | stream[1]
+                return bytes(stream), nf
+            # format-version mismatch with the target ROM: decode and
+            # re-encode (reference DCSEncoder.cpp:358-589 EncodeDCSFile)
+            return enc.transcode_stream(stream, osv, self.spec.os_version,
+                                        params)
         audio, rate = audioio.read_wav(full)
         return enc.encode_pcm(audio * 32768.0, params, sample_rate=rate)
 

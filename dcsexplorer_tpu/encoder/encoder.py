@@ -541,3 +541,48 @@ def encode_files(jobs, params: CompressionParams = None, os_version=None,
         futs = [ex.submit(encode_pcm, p, params, r, os_version)
                 for (p, r) in jobs]
         return [f.result() for f in futs]
+
+
+def _decode_stream_pcm(stream, os_version):
+    """Decode a raw stream through the scalar runtime at master volume 255 /
+    mixing level 0x64 (the standalone nominal playback level)."""
+    from ..refdec.decoder import ReferenceDecoder
+    dec = ReferenceDecoder()
+    dec.default_volume = 255
+    dec.init_standalone(os_version)
+    dec.soft_boot()
+    dec.load_audio_stream(0, bytes(stream), mixing_level=0x64)
+    nf = (stream[0] << 8) | stream[1]
+    return np.array(dec.next_samples(nf * 240), dtype=np.float64)
+
+
+_GAIN_CACHE = {}
+
+
+def _playback_gain(os_version):
+    """End-to-end gain of the scalar runtime at volume 255 / mixing 0x64
+    (≈0.48; the encoder itself is level-transparent, so the composite
+    encode→decode gain isolates the decode side).  Measured once per format
+    family with a short sine and cached."""
+    if os_version not in _GAIN_CACHE:
+        t = np.arange(240 * 8, dtype=np.float64) / RATE
+        src = (8000.0 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+        stream, nf = encode_pcm(src, CompressionParams(),
+                                os_version=os_version)
+        out = _decode_stream_pcm(stream, os_version)[:src.size]
+        _GAIN_CACHE[os_version] = (
+            float(np.dot(out, src)) / max(float(np.dot(src, src)), 1e-9))
+    return _GAIN_CACHE[os_version]
+
+
+def transcode_stream(stream, src_os, dst_os, params: CompressionParams = None):
+    """Re-encode a raw DCS stream into another format family, keeping the
+    playback level (counterpart of the reference's automatic re-encode of
+    .dcs inputs whose format version mismatches the target ROM's,
+    DCSEncoder.cpp:358-589 EncodeDCSFile).  Returns (stream, n_frames)."""
+    if params is None:
+        params = CompressionParams()
+    pcm = _decode_stream_pcm(stream, src_os)
+    g = _playback_gain(src_os)
+    return encode_pcm((pcm / max(g, 1e-9)).astype(np.float32), params,
+                      os_version=dst_os)

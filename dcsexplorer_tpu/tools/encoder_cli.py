@@ -78,9 +78,17 @@ def encode_file(path, out_path, params, check=False, os_version=None):
         os_version = OS94
     kind, data, meta = _load_audio(path)
     if kind == "dcs":
-        # already a DCS stream: pass through
-        audioio.write_dcs_raw(out_path, data, meta)
-        print(f"{path}: raw DCS stream passed through -> {out_path}")
+        if meta == os_version:
+            # already a DCS stream of the target family: pass through
+            audioio.write_dcs_raw(out_path, data, meta)
+            print(f"{path}: raw DCS stream passed through -> {out_path}")
+            return
+        # version mismatch: decode + re-encode at the target version
+        # (reference DCSEncoder.cpp:358-589 EncodeDCSFile)
+        stream, nf = enc.transcode_stream(data, meta, os_version, params)
+        audioio.write_dcs_raw(out_path, stream, os_version)
+        print(f"{path}: re-encoded (format version {meta} -> {os_version}) "
+              f"-> {out_path} ({len(stream)} bytes)")
         return
 
     stream, nf = enc.encode_pcm(data.astype(np.float32), params,

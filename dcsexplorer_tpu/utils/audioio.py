@@ -96,8 +96,16 @@ def read_dcs_raw(path_or_bytes):
             data = f.read()
     if data[:4] != b"DCSa":
         raise ValueError("not a DCSa raw stream file")
+    if len(data) < 36:
+        raise ValueError(
+            f"truncated DCSa container ({len(data)} bytes; 36-byte header "
+            "required)")
     fmtver = struct.unpack(">H", data[4:6])[0]
     size = struct.unpack(">I", data[32:36])[0]
+    if len(data) < 36 + size:
+        raise ValueError(
+            f"truncated DCSa container (header declares {size} stream bytes, "
+            f"file holds {len(data) - 36})")
     return data[36:36 + size], _FMTVER_TO_OS.get(fmtver, OS94)
 
 

@@ -237,3 +237,24 @@ def test_encode_files_batch():
     for (pcm, rate), (stream, nf) in zip(jobs, out):
         single = enc.encode_pcm(pcm, sample_rate=rate)
         assert single[0] == stream and single[1] == nf
+
+
+def test_transcode_stream_version_mismatch():
+    """A .dcs stream of one family re-encodes into another with the
+    playback level preserved (reference EncodeDCSFile semantics)."""
+    from dcsexplorer_tpu.encoder import encoder as enc
+    from dcsexplorer_tpu.refdec.decoder import OS93B, OS94
+
+    t = np.arange(240 * 12) / 31250.0
+    src = (6000.0 * np.sin(2 * np.pi * 523.0 * t)).astype(np.float32)
+    s93, _ = enc.encode_pcm(src, enc.CompressionParams(), os_version=OS93B)
+    s94, nf = enc.transcode_stream(s93, OS93B, OS94)
+    assert nf == 12
+    # decode both and compare playback levels: the transcode must not
+    # compound the runtime's nominal ~0.48x playback gain
+    p93 = enc._decode_stream_pcm(s93, OS93B)
+    p94 = enc._decode_stream_pcm(s94, OS94)
+    r93 = float(np.sqrt(np.mean(p93 ** 2)))
+    r94 = float(np.sqrt(np.mean(p94 ** 2)))
+    assert r93 > 100
+    assert 0.7 < r94 / r93 < 1.4, (r93, r94)
