@@ -129,7 +129,7 @@ class ScriptCompiler:
             # re-encode (reference DCSEncoder.cpp:358-589 EncodeDCSFile)
             return enc.transcode_stream(stream, osv, self.spec.os_version,
                                         params)
-        audio, rate = audioio.read_wav(full)
+        audio, rate = audioio.read_audio(full)
         return enc.encode_pcm(audio * 32768.0, params, sample_rate=rate)
 
     def _add_stream(self, name, path, params):

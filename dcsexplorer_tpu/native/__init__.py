@@ -25,18 +25,19 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "src", "dcs_native.cpp")
+    src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+    srcs = [os.path.join(src_dir, f) for f in ("dcs_native.cpp", "flac.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
+        newest = max(os.path.getmtime(s) for s in srcs)
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+                or os.path.getmtime(_LIB_PATH) < newest):
             from . import gen_tables
             gen_tables.emit(hdr)
             os.makedirs(_BUILD, exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                 f"-I{os.path.dirname(hdr)}", src, "-o", _LIB_PATH],
+                 f"-I{os.path.dirname(hdr)}", *srcs, "-o", _LIB_PATH],
                 check=True, capture_output=True, text=True)
         lib = C.CDLL(_LIB_PATH)
     except (subprocess.CalledProcessError, OSError):
@@ -52,6 +53,10 @@ def get_lib():
     lib.dcs93_index.argtypes = [C.c_char_p, C.c_int, C.c_int] + [C.c_void_p] * 11
     lib.dcs93a_index.restype = C.c_int
     lib.dcs93a_index.argtypes = [C.c_char_p, C.c_int, C.c_int] + [C.c_void_p] * 5
+    lib.flac_info.restype = C.c_int
+    lib.flac_info.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_void_p]
+    lib.flac_decode.restype = C.c_int64
+    lib.flac_decode.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_int64]
     _lib = lib
     return _lib
 
@@ -172,6 +177,44 @@ def index93a(stream, pos=0):
         n_frames=F, selector=int(meta[0]), bits=bits.astype(np.int64),
         bit_start=bit_start,
         scale32=scale32.astype(np.int64) & 0xFFFFFFFF, end_bit=end_bit)
+
+
+def flac_decode(data):
+    """Decode a FLAC file with the native runtime (native/src/flac.cpp).
+
+    Returns (samples [N, channels] int32, rate, bits) or None if the native
+    library is unavailable.  Raises ValueError on malformed input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(data)
+    meta = np.zeros(4, dtype=np.int32)
+    total = np.zeros(1, dtype=np.int64)
+    rc = lib.flac_info(buf, len(buf), meta.ctypes.data_as(C.c_void_p),
+                       total.ctypes.data_as(C.c_void_p))
+    if rc != 0:
+        raise ValueError(f"malformed FLAC file (error {rc})")
+    rate, nch, bits, _ = (int(x) for x in meta)
+    cap = int(total[0]) * nch if total[0] else 0
+    if cap == 0:
+        cap = max(len(buf) * 4, 1 << 20)   # unknown length: generous bound
+    for _ in range(4):
+        out = np.zeros(cap, dtype=np.int32)
+        n = lib.flac_decode(buf, len(buf), out.ctypes.data_as(C.c_void_p),
+                            cap)
+        if n == -3:
+            cap *= 4
+            continue
+        if n < 0:
+            raise ValueError(f"malformed FLAC file (error {n})")
+        # the frame walker stops at the first bad sync; if STREAMINFO
+        # recorded a length, a short decode means corruption, not EOF
+        if total[0] and n != int(total[0]) * nch:
+            raise ValueError(
+                f"truncated or corrupt FLAC: decoded {n // max(nch, 1)} of "
+                f"{int(total[0])} samples")
+        return out[:n].reshape(-1, nch), rate, bits
+    raise ValueError("FLAC decode exceeded the output bound")
 
 
 def decode_dense_batch(streams, workers=None):

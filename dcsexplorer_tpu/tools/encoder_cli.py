@@ -65,7 +65,7 @@ def _load_audio(path):
     if audioio.is_dcs_raw(path):
         stream, osv = audioio.read_dcs_raw(path)
         return ("dcs", stream, osv)
-    audio, rate = audioio.read_wav(path)
+    audio, rate = audioio.read_audio(path)
     return ("pcm", audio * 32768.0, rate)
 
 

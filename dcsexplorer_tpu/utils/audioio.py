@@ -115,3 +115,53 @@ def is_dcs_raw(path):
             return f.read(4) == b"DCSa"
     except OSError:
         return False
+
+
+def read_flac(path_or_bytes):
+    """Read a FLAC file via the native decoder (native/src/flac.cpp);
+    returns (float32 mono array in [-1, 1), sample_rate).
+
+    Counterpart of the reference's libnyquist input path
+    (DCSEncoder/DCSEncodeFile.cpp:6-21)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    from .. import native
+    res = native.flac_decode(data)
+    if res is None:
+        raise ValueError("FLAC input requires the native runtime "
+                         "(no C++ compiler available)")
+    samples, rate, bits = res
+    a = samples.astype(np.float32) / float(1 << (bits - 1))
+    if a.shape[1] > 1:
+        a = a.mean(axis=1)
+    return a.reshape(-1), rate
+
+
+def read_audio(path_or_bytes):
+    """Read any supported audio input by magic bytes; returns
+    (float32 mono array in [-1, 1), sample_rate).
+
+    Supported: WAV (all common PCM layouts) and FLAC.  MP3/Ogg inputs —
+    which the reference accepts via its vendored libnyquist — are
+    rejected with a clear message (no codec libraries exist in this
+    environment, and lossy sources are poor encoder inputs anyway)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:4])
+    else:
+        with open(path_or_bytes, "rb") as f:
+            head = f.read(4)
+    if head[:4] == b"fLaC":
+        return read_flac(path_or_bytes)
+    if head[:4] == b"RIFF":
+        return read_wav(path_or_bytes)
+    if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                          b"\xff\xf2"):
+        raise ValueError("MP3 input is not supported; convert to WAV or "
+                         "FLAC first")
+    if head[:4] == b"OggS":
+        raise ValueError("Ogg input is not supported; convert to WAV or "
+                         "FLAC first")
+    raise ValueError("unrecognized audio format (supported: WAV, FLAC)")
