@@ -5,6 +5,17 @@ Counterpart of the reference's Registration/factory system
 selection logic (reference: DCSExplorer/DCSExplorer.cpp:458-537): backends
 register under a name, and a caller selects one by exact name or unique
 leading prefix (case-insensitive).
+
+The reference registers a third backend — the emulator with the PinMame
+"speedup" patches (hand-translated native IFFT inner loops,
+DCSDecoderEmu.cpp:644-889).  This framework intentionally does not: the
+speedup exists there only because the emulator was the reference's fast
+path, while here the scalar runtime ("native") and the TPU batch pipeline
+fill that role, and the emulator's purpose is strict validation — the
+reference itself always validates in strict mode
+(DCSExplorer.cpp:1033-1036).  A speedup-patched interpreter would also be
+unverifiable in this repo, since the patch signatures only occur in the
+original commercial ROM programs, which are not distributable.
 """
 
 
