@@ -64,18 +64,52 @@ class EmulatedDecoder(rd.ReferenceDecoder):
 
     name = "ADSP-2105 emulator"
 
-    def __init__(self, host=None, max_steps_per_pass=200_000_000):
+    def __init__(self, host=None, max_steps_per_pass=200_000_000,
+                 use_native=None):
         super().__init__(host)
         self.max_steps = max_steps_per_pass
-        self.cpu = ADSP2105(read_dm=self._read_dm, write_dm=self._write_dm,
-                            read_pm=self._read_pm_port,
-                            write_pm=self._write_pm_port)
-        self.bank_mem = None
-        self.bank_pos = 0
+        self.cpu = None
+        self.native_cpu = False
+        if use_native is not False:
+            try:
+                from .native_cpu import make_native_cpu
+                self.cpu = make_native_cpu()
+            except Exception:
+                self.cpu = None
+            self.native_cpu = self.cpu is not None
+        if self.cpu is None:
+            self.cpu = ADSP2105(read_dm=self._read_dm,
+                                write_dm=self._write_dm,
+                                read_pm=self._read_pm_port,
+                                write_pm=self._write_pm_port)
+        self._bank_mem = None
+        self._bank_pos = 0
         self.autobuffer = _Autobuffer()
         self.main_loop_entry = -1
         self.master_volume_addr = -1
         self.error_message = None
+
+    # bank state as properties so snapshot restore (utils/state.py assigns
+    # bank_mem/bank_pos directly) re-pushes the window to the native core
+    @property
+    def bank_mem(self):
+        return self._bank_mem
+
+    @bank_mem.setter
+    def bank_mem(self, mem):
+        self._bank_mem = mem
+        if self.native_cpu:
+            self.cpu.set_bank_window(mem, self._bank_pos)
+
+    @property
+    def bank_pos(self):
+        return self._bank_pos
+
+    @bank_pos.setter
+    def bank_pos(self, pos):
+        self._bank_pos = pos
+        if self.native_cpu:
+            self.cpu.set_bank_window(self._bank_mem, pos)
 
     # ------------------------------------------------------------------
     # board memory maps (reference: DCSDecoderEmu.cpp:459-591)
@@ -145,7 +179,8 @@ class EmulatedDecoder(rd.ReferenceDecoder):
     # patch-point search helpers
 
     def _search(self, pattern, start=0):
-        return search_opcodes_words(pattern, self.cpu.pm, start)
+        # snapshot once: the native proxy reads the whole PM in one call
+        return search_opcodes_words(pattern, list(self.cpu.pm), start)
 
     # ------------------------------------------------------------------
     # decoder interface overrides
@@ -166,6 +201,13 @@ class EmulatedDecoder(rd.ReferenceDecoder):
             self.error_message = "no U2 ROM loaded"
             return False
         cpu = self.cpu
+        if self.native_cpu:
+            cpu.config_board(
+                self.hw_version,
+                self._read_data_port,
+                lambda v: self.host.receive_data_port(v & 0xFF),
+                self._set_rom_bank)
+            cpu.clear_autobuffer()
         cpu.reset()
         cpu.pm = [0] * 0x4000
         cpu.dm = [0] * 0x4000
@@ -239,9 +281,17 @@ class EmulatedDecoder(rd.ReferenceDecoder):
         self.set_master_volume(self.default_volume)
         self.data_port_queue.clear()
         self.last_data_port_byte = 0
+        if self.native_cpu:
+            nab = self.cpu.autobuffer
+            if nab.base is not None:
+                self.autobuffer = nab
         return True
 
     def main_loop(self):
+        if self.native_cpu:
+            nab = self.cpu.autobuffer
+            if nab.base is not None:
+                self.autobuffer = nab
         if self.main_loop_entry < 0 or self.autobuffer.base is None:
             return
         cpu = self.cpu
@@ -258,5 +308,11 @@ class EmulatedDecoder(rd.ReferenceDecoder):
             raise rd.ResetError(
                 f"unexpected autobuffer geometry: {n} samples/frame")
         base = ab.base
-        for k in range(n):
-            self.output_buffer[k] = s16(cpu.dm[(base + k * ab.step) & 0x3FFF])
+        if self.native_cpu:
+            vals = self.cpu.read_dm_strided(base, ab.step, n)
+            for k in range(n):
+                self.output_buffer[k] = s16(int(vals[k]))
+        else:
+            for k in range(n):
+                self.output_buffer[k] = s16(
+                    cpu.dm[(base + k * ab.step) & 0x3FFF])

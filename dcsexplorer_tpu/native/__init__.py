@@ -26,7 +26,8 @@ def get_lib():
         return _lib
     _tried = True
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
-    srcs = [os.path.join(src_dir, f) for f in ("dcs_native.cpp", "flac.cpp")]
+    srcs = [os.path.join(src_dir, f)
+            for f in ("dcs_native.cpp", "flac.cpp", "adsp2105.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)

@@ -316,7 +316,7 @@ def cmd_interactive(rs, out_path, vol, secs_per_cmd, backend="native"):
             continue
         try:
             if cmd.startswith("v"):
-                lvl = int(cmd[1:], 0)
+                lvl = int(cmd[1:], 16)      # vNN takes hex, like tracks
                 for b in (0x55, 0xAA, lvl & 0xFF, (lvl & 0xFF) ^ 0xFF):
                     dec.write_data_port(b)
                 print(f"volume {lvl}")

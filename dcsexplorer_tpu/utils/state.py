@@ -217,3 +217,11 @@ def restore_emulated(dec, snap, stream_mems=None):
      dec.autobuffer.step) = e["autobuffer"]
     dec.main_loop_entry = e["main_loop_entry"]
     dec.master_volume_addr = e["master_volume_addr"]
+    if getattr(dec, "native_cpu", False):
+        # re-arm the native board: callbacks, window, captured autobuffer
+        dec.cpu.config_board(
+            dec.hw_version, dec._read_data_port,
+            lambda v: dec.host.receive_data_port(v & 0xFF),
+            dec._set_rom_bank)
+        dec.cpu.set_bank_window(dec.bank_mem, dec.bank_pos)
+        dec.cpu.set_autobuffer(*e["autobuffer"])

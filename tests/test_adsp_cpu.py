@@ -43,6 +43,29 @@ class PyCpu:
         self.port_writes += 1
 
 
+class NatCpu:
+    """Native C++ core in port-only board mode (same PM($3000) model)."""
+
+    def __init__(self):
+        from dcsexplorer_tpu.emu.native_cpu import make_native_cpu
+        self.cpu = make_native_cpu()
+        if self.cpu is None:
+            pytest.skip("native library unavailable")
+        self.port_in = 0
+        self.port_out = 0
+        self.port_writes = 0
+        self.cpu.config_board(1, lambda: self.port_in, self._wp,
+                              lambda linear: None)
+
+    def _wp(self, v):
+        self.port_out = v
+        self.port_writes += 1
+
+
+def _make_cpu(kind):
+    return PyCpu() if kind == "py" else NatCpu()
+
+
 _STATE_NAMES = (
     ["core." + n for n in ("ax0", "ax1", "ay0", "ay1", "ar", "af", "mx0",
                            "mx1", "my0", "my1", "mr", "mf", "si", "se",
@@ -134,12 +157,12 @@ def _compare(ref, py, op, tag):
     # the reference stores raw (uint32) words in PM; only the low 24 bits
     # are architecturally observable
     rpm = np.array(ref.get_pm(), dtype=np.uint32) & 0xFFFFFF
-    ppm = np.array(py.cpu.pm, dtype=np.uint32)
+    ppm = np.array(list(py.cpu.pm), dtype=np.uint32)
     assert np.array_equal(rpm, ppm), (
         f"{tag}: op={op:06X} PM mismatch at "
         f"{np.nonzero(rpm != ppm)[0][:4]}")
     rdm = np.array(ref.get_dm(), dtype=np.uint16)
-    pdm = np.array(py.cpu.dm, dtype=np.uint16)
+    pdm = np.array(list(py.cpu.dm), dtype=np.uint16)
     assert np.array_equal(rdm, pdm), (
         f"{tag}: op={op:06X} DM mismatch at "
         f"{np.nonzero(rdm != pdm)[0][:4]}")
@@ -161,9 +184,9 @@ def _step_both(ref, py, st, op, tag, loop=None):
     assert (ref.port_writes() - w0) == 0 or py.port_writes > 0
 
 
-def _run_fuzz(ops_for, n_iter, seed, tag):
+def _run_fuzz(ops_for, n_iter, seed, tag, kind="py"):
     ref = _require_cpu()
-    py = PyCpu()
+    py = _make_cpu(kind)
     rng = np.random.default_rng(seed)
     _sync_mem(ref, py, rng)
     for it in range(n_iter):
@@ -174,10 +197,13 @@ def _run_fuzz(ops_for, n_iter, seed, tag):
         _step_both(ref, py, st, op, f"{tag}[{it}]", loop=loop)
 
 
-def test_fuzz_fully_random():
-    _run_fuzz(lambda rng, st: int(rng.integers(0, 1 << 24)), 1200, 11, "rand")
+@pytest.mark.parametrize("kind", ["py", "nat"])
+def test_fuzz_fully_random(kind):
+    _run_fuzz(lambda rng, st: int(rng.integers(0, 1 << 24)), 1200, 11,
+              "rand", kind)
 
 
+@pytest.mark.parametrize("kind", ["py", "nat"])
 @pytest.mark.parametrize("hi_lo,hi_hi,name", [
     (0x00, 0x20, "control"),        # NOP/TRAP/flags/stacks/DIVS/DIVQ/...
     (0x20, 0x30, "alu_mac_cond"),   # conditional ALU/MAC + reg-move forms
@@ -188,17 +214,18 @@ def test_fuzz_fully_random():
     (0xC0, 0x100, "dual_ops"),
     (0x0E, 0x14, "shifts"),
 ])
-def test_fuzz_class(hi_lo, hi_hi, name):
+def test_fuzz_class(hi_lo, hi_hi, name, kind):
     def gen(rng, st):
         hi = int(rng.integers(hi_lo, hi_hi))
         return (hi << 16) | int(rng.integers(0, 1 << 16))
-    _run_fuzz(gen, 400, hash(name) % (1 << 31), name)
+    _run_fuzz(gen, 400, hash(name) % (1 << 31), name, kind)
 
 
-def test_do_until_counter_loop():
+@pytest.mark.parametrize("kind", ["py", "nat"])
+def test_do_until_counter_loop(kind):
     """Multi-step lockstep: a DO UNTIL CE loop body executed to completion."""
     ref = _require_cpu()
-    py = PyCpu()
+    py = _make_cpu(kind)
     rng = np.random.default_rng(99)
     _sync_mem(ref, py, rng)
     st = _random_state(rng, pc=0x100)
@@ -232,10 +259,11 @@ def test_do_until_counter_loop():
     assert py.cpu.pc == 0x105
 
 
-def test_invoke_irq_roundtrip():
+@pytest.mark.parametrize("kind", ["py", "nat"])
+def test_invoke_irq_roundtrip(kind):
     """Host-invoked IRQ2: vector in, run ISR to RTI, return to host."""
     ref = _require_cpu()
-    py = PyCpu()
+    py = _make_cpu(kind)
     rng = np.random.default_rng(7)
     _sync_mem(ref, py, rng)
     st = _random_state(rng, pc=0x200)
