@@ -9,6 +9,10 @@ zips from the compiler work too).
 
 Usage:
   python -m dcsexplorer_tpu.tools.test_all ROMS_DIR [RESULTS_DIR] [--vol N]
+  python -m dcsexplorer_tpu.tools.test_all ROMS_DIR --versions
+
+--versions dumps the detected hardware/software version of every ROM
+instead of validating (counterpart of the reference's all-versions.bat).
 """
 
 import argparse
@@ -26,6 +30,9 @@ def main(argv=None):
     p.add_argument("--vol", type=int, default=220,
                    help="master volume (the reference harness uses 220)")
     p.add_argument("--max-track-frames", type=int, default=4000)
+    p.add_argument("--versions", action="store_true",
+                   help="print each ROM's detected version instead of "
+                        "validating (reference: Tests/all-versions.bat)")
     args = p.parse_args(argv)
 
     from .explorer import cmd_validate, load_rom
@@ -34,6 +41,21 @@ def main(argv=None):
     if not zips:
         print(f"no ROM zips found in {args.roms_dir}", file=sys.stderr)
         return 2
+
+    if args.versions:
+        for path in zips:
+            name = os.path.splitext(os.path.basename(path))[0]
+            try:
+                rs, _, status = load_rom(path)
+                from ..rom.image import game_title
+                info = rs.version_info()
+                game = game_title(rs.game_id) if rs.game_id else ""
+                extra = f"  [{game}]" if game else ""
+                flag = "" if status == 1 else f"  (POST code {status})"
+                print(f"{name}: {info}{extra}{flag}")
+            except Exception as e:
+                print(f"{name}: ERROR {e}")
+        return 0
 
     n_ok = 0
     for path in zips:
