@@ -1,6 +1,7 @@
 """Checkpoint/resume: snapshot mid-playback, restore, bit-exact continuation."""
 
 import numpy as np
+import pytest
 
 from dcsexplorer_tpu.refdec import decoder as rd
 from dcsexplorer_tpu.rom import zipload
@@ -82,3 +83,34 @@ def test_emulated_snapshot_resume():
     cont2 = dec2.next_samples(480)
     assert cont == cont2
     assert dec2.cpu.dm[0x0810] == dec.cpu.dm[0x0810]
+
+
+@pytest.mark.parametrize("src_native,dst_native", [(True, False),
+                                                   (False, True)])
+def test_emulated_snapshot_cross_core(src_native, dst_native):
+    """Snapshots move between the Python and native C++ CPU cores: the
+    125-field state layout is shared, so a session suspended on one core
+    resumes bit-exactly on the other."""
+    from dcsexplorer_tpu.emu.board import EmulatedDecoder
+    from dcsexplorer_tpu.utils import state as dstate
+    from tests.test_emu_board import make_decoder
+
+    rs = make_decoder().rom_set
+    dec = EmulatedDecoder(use_native=src_native)
+    if src_native and not dec.native_cpu:
+        pytest.skip("native library unavailable")
+    dec.default_volume = 200
+    dec.load_rom_set(rs)
+    dec.soft_boot()
+    dec.next_samples(300)
+    snap = dstate.snapshot_emulated(dec)
+    cont = dec.next_samples(480)
+
+    dec2 = EmulatedDecoder(use_native=dst_native)
+    if dst_native and not dec2.native_cpu:
+        pytest.skip("native library unavailable")
+    dec2.default_volume = 200
+    dec2.load_rom_set(rs)
+    dstate.restore_emulated(dec2, snap)
+    cont2 = dec2.next_samples(480)
+    assert cont == cont2
