@@ -54,7 +54,28 @@ def main():
         pcm = flatsweep.flat_pipeline(*a)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    fn = jax.jit(sweep, static_argnums=(10,))
+    # with more than one chip, shard the frame-row batch axis across the
+    # devices (pool replicated; the overlap shift lowers to a neighbor
+    # collective-permute) and report per-chip throughput
+    devs = jax.devices()
+    n_dev = len(devs)
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(devs), ("batch",))
+        repl = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("batch"))
+        N = args[1].shape[0]
+        pad = (-N) % n_dev
+        if pad:
+            for k in range(1, 10):
+                widths = [(0, 0)] * args[k].ndim
+                widths[0] = (0, pad)
+                args[k] = jnp.pad(args[k], widths)
+        fn = jax.jit(sweep, static_argnums=(10,),
+                     in_shardings=(repl,) + (row,) * 9,
+                     out_shardings=repl)
+    else:
+        fn = jax.jit(sweep, static_argnums=(10,))
     int(fn(*args))   # compile + warm-up (fetch forces execution)
 
     iters = int(os.environ.get("DCS_BENCH_ITERS", "5"))
@@ -64,7 +85,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     audio_samples = sweep_in.audio_samples
-    xrt = audio_samples / 31250.0 / dt
+    xrt = audio_samples / 31250.0 / dt / n_dev
     print(json.dumps({
         "metric": "batched_decode_throughput",
         "value": round(xrt, 1),
