@@ -94,7 +94,6 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
                             band_type_prev)
     packed, scale, total = bd.slot_controls(ctl)
     N = start_bit.shape[0]
-    cb_flat = jnp.asarray(bd._CB_FLAT)
 
     def step(carry, packed_t):
         cursor, skip = carry
@@ -105,7 +104,7 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
         w24 = pool_words[cursor >> 3]
         look = (w24 >> (24 - mw - (cursor & 7))) & ((1 << mw) - 1)
         is_cb = c <= 6
-        entry = cb_flat[cb + look]
+        entry = bd.cb_entry(cb + look)
         two_zero = is_cb & ((entry & 0x80) != 0)
         sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
         mw1 = jnp.maximum(mw, 1)

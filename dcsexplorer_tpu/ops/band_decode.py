@@ -38,6 +38,27 @@ for _i in range(1, 7):
 _CB_FLAT = np.concatenate([np.asarray(T.CODEBOOKS[i], dtype=np.int32)
                            for i in range(1, 7)])
 _MAXW = np.asarray(T.MAX_BIT_WIDTH, dtype=np.int32)          # [7]
+
+# gather-free codebook lookup: _CB_FLAT is piecewise constant (132 runs),
+# so entry(idx) = V0 + sum_k [idx >= b_k] * (V_k - V_{k-1}) — a chain of
+# fused elementwise compare/add ops on the VPU instead of one HBM
+# random-access gather per lane per scan step (~6 ns/lane, and the scan is
+# ~80% of the decode pipeline).  Out-of-range idx (raw-width lanes) sums
+# every delta and lands on the LAST entry — exactly what the clamped
+# gather produced, so the substitution is bit-identical.
+_chg = np.nonzero(_CB_FLAT[1:] != _CB_FLAT[:-1])[0] + 1
+_CB_RUN_BOUNDS = _chg.astype(np.int32)
+_CB_RUN_BASE = int(_CB_FLAT[0])
+_CB_RUN_DELTAS = (_CB_FLAT[_chg].astype(np.int64)
+                  - _CB_FLAT[_chg - 1].astype(np.int64)).astype(np.int32)
+
+
+def cb_entry(idx):
+    """Codebook entry for flat index [N] without a gather (see above)."""
+    e = jnp.full(idx.shape, _CB_RUN_BASE, jnp.int32)
+    for b, d in zip(_CB_RUN_BOUNDS.tolist(), _CB_RUN_DELTAS.tolist()):
+        e = e + jnp.where(idx >= b, jnp.int32(d), jnp.int32(0))
+    return e
 _XLAT_TYPE = np.stack([  # [3 groups, 16] translated band type
     np.asarray(T.XLAT02[:, 0]), np.asarray(T.XLAT35[:, 0]),
     np.asarray(T.XLAT6F[:, 0])]).astype(np.int32)
@@ -200,7 +221,6 @@ def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
     ctl = band_controls(header, sub_type, fmt_type, band_type, band_type_prev)
     packed, scale, total = slot_controls(ctl)
     F = start_bit.shape[0]
-    cb_flat = jnp.asarray(_CB_FLAT)
     wwords = window_words(stream_bytes)
 
     def step(carry, packed_t):
@@ -214,7 +234,7 @@ def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
         look = (w24 >> (24 - mw - (cursor & 7))) & ((1 << mw) - 1)
 
         is_cb = c <= 6   # c==0 only when !ok (masked below)
-        entry = cb_flat[cb + look]
+        entry = cb_entry(cb + look)
         two_zero = is_cb & ((entry & 0x80) != 0)
         sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
 
