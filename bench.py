@@ -37,13 +37,13 @@ def main():
     assert streams, "no benchmark streams found under assets/streams/"
 
     # replicate the stream set into a catalog-sized batch
-    # measured sweet spot on one v5e chip: throughput plateaus ~120-160
-    # catalog copies (~1940x realtime) and dips beyond 192 (HBM pressure)
-    copies = int(os.environ.get("DCS_BENCH_COPIES", "144"))
+    # measured sweet spot on one v5e chip (quad-window scan): ~4400x at
+    # 240-288 catalog copies, regressing beyond ~330 (HBM pressure)
+    copies = int(os.environ.get("DCS_BENCH_COPIES", "288"))
     catalog = streams * copies
     sweep_in = flatsweep.FlatSweep(catalog).pack()
     args = list(sweep_in.args())
-    args[0] = bd.window_words(args[0])
+    args[0] = bd.window_quads(args[0])
 
     import jax.numpy as jnp
 

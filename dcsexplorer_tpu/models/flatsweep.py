@@ -86,7 +86,8 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
                 band_type, band_type_prev, n_steps):
     """Symbol-decode N frames against the global byte pool.
 
-    pool_words: [L] precomputed 24-bit window words; start_bit: [N] global
+    pool_words: [W, 4] precomputed 128-bit quad windows
+    (bd.window_quads); start_bit: [N] global
     bit offsets; header/band_type/_prev: [N, 16]; fmt/sub: [N].
     Returns (position-ordered values [N, 256], (scale, total)).
     """
@@ -94,35 +95,51 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
                             band_type_prev)
     packed, scale, total = bd.slot_controls(ctl)
     N = start_bit.shape[0]
+    K = 5     # symbols per quad-window gather (5 x 17 bits <= 128 - 31)
 
-    def step(carry, packed_t):
+    def group(carry, packed_g):            # packed_g: [K, N]
         cursor, skip = carry
-        ok = packed_t != 0
-        c = packed_t & 0x1F
-        mw = (packed_t >> bd._P_MAXW) & 0x1F
-        cb = (packed_t >> bd._P_CB) & 0x3FF
-        w24 = pool_words[cursor >> 3]
-        look = (w24 >> (24 - mw - (cursor & 7))) & ((1 << mw) - 1)
-        is_cb = c <= 6
-        entry = bd.cb_entry(cb + look)
-        two_zero = is_cb & ((entry & 0x80) != 0)
-        sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
-        mw1 = jnp.maximum(mw, 1)
-        sample_raw = look - ((look >> (mw1 - 1)) << mw1)
-        consume = ok & ~skip
-        nbits = jnp.where(is_cb, entry >> 8, mw)
-        sample = jnp.where(is_cb, sample_cb, sample_raw) & 0xFFFF
-        sample = jnp.where(two_zero | skip | ~ok, 0, sample)
-        cursor = cursor + jnp.where(consume, nbits, 0)
-        new_skip = jnp.where(skip, False, consume & two_zero)
-        return (cursor, new_skip), sample
+        # ONE row gather per K symbols: the 128-bit quad window at the
+        # group-entry cursor covers all K worst-case-width symbols
+        base = cursor >> 5
+        quad = pool_words[base]            # [N, 4] uint32
+        d = cursor & 31
+        samples = []
+        for k in range(K):
+            packed_t = packed_g[k]
+            ok = packed_t != 0
+            c = packed_t & 0x1F
+            mw = (packed_t >> bd._P_MAXW) & 0x1F
+            cb = (packed_t >> bd._P_CB) & 0x3FF
+            look = bd.quad_extract(quad, d, mw)
+            is_cb = c <= 6
+            entry = bd.cb_entry(cb + look)
+            two_zero = is_cb & ((entry & 0x80) != 0)
+            sample_cb = (entry & 0x7F) - (1 << jnp.clip(c - 1, 0, 14))
+            mw1 = jnp.maximum(mw, 1)
+            sample_raw = look - ((look >> (mw1 - 1)) << mw1)
+            consume = ok & ~skip
+            nbits = jnp.where(is_cb, entry >> 8, mw)
+            sample = jnp.where(is_cb, sample_cb, sample_raw) & 0xFFFF
+            sample = jnp.where(two_zero | skip | ~ok, 0, sample)
+            d = d + jnp.where(consume, nbits, 0)
+            skip = jnp.where(skip, False, consume & two_zero)
+            samples.append(sample)
+        return ((base << 5) + d, skip), jnp.stack(samples)
 
-    xs = jnp.transpose(packed[:, :n_steps])
-    _, vals = jax.lax.scan(step, (start_bit.astype(jnp.int32),
-                                  jnp.zeros(N, bool)), xs)
-    dense = jnp.transpose(vals)
-    if n_steps < 256:
-        dense = jnp.pad(dense, ((0, 0), (0, 256 - n_steps)))
+    n_groups = -(-n_steps // K)
+    S = n_groups * K
+    pk = packed[:, :min(S, packed.shape[1])]
+    if S > pk.shape[1]:
+        pk = jnp.pad(pk, ((0, 0), (0, S - pk.shape[1])))
+    xs = jnp.transpose(pk).reshape(n_groups, K, N)
+    _, vals = jax.lax.scan(group, (start_bit.astype(jnp.int32),
+                                   jnp.zeros(N, bool)), xs)
+    dense = jnp.transpose(vals.reshape(S, N))
+    if S < 256:
+        dense = jnp.pad(dense, ((0, 0), (0, 256 - S)))
+    else:
+        dense = dense[:, :256]
     return dense, (scale, total)
 
 
@@ -222,7 +239,7 @@ class FlatSweep:
 def run_flat(sweep: FlatSweep):
     """Decode the whole packed catalog; returns int16 PCM [N*240]."""
     args = list(sweep.args())
-    args[0] = bd.window_words(args[0])
+    args[0] = bd.window_quads(args[0])
     fn = jax.jit(flat_pipeline, static_argnums=(10,))
     pcm = np.asarray(fn(*args))
     return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)
