@@ -55,30 +55,33 @@ def band_controls_dyn(header, fmt_type, sub_type, band_type, band_type_prev):
     out_inc = jnp.where((cur_hdr & 0x40) != 0, 2, 1)
     out_count = jnp.where(out_inc == 2, out_count // 2, out_count)
 
-    # type-1 path
-    group = _BAND_GROUP.reshape(1, 16)
-    padd = _PREADJ[jnp.where(sub_type != 0, 1, 0)]    # [N, 16]
-    pre = jnp.where(jnp.arange(16).reshape(1, 16) < 3,
-                    jnp.take_along_axis(padd, jnp.clip(band_type_prev, 0, 15),
-                                        axis=1), 0)
+    # type-1 path (all table lookups gather-free: 16-way select chains
+    # over static tables — see band_decode._sel16_cols/_sel16_flat)
+    btp = jnp.clip(band_type_prev, 0, 15)
+    pre0 = bd._sel16_flat(bd._PREADJ[0], btp)
+    pre3 = bd._sel16_flat(bd._PREADJ[1], btp)
+    padd = jnp.where((sub_type != 0)[:, None], pre3, pre0)
+    pre = jnp.where(jnp.arange(16).reshape(1, 16) < 3, padd, 0)
     hdr_adj = cur_hdr + pre
     bt = jnp.clip(band_type, 0, 15)
-    code1 = _XLAT_TYPE[group, bt]
-    scale_code1 = hdr_adj + _XLAT_ADJ[group, bt]
+    code1 = bd._sel16_cols(bd._XT_BY_BAND, bt)
+    scale_code1 = hdr_adj + bd._sel16_cols(bd._XA_BY_BAND, bt)
 
     is1 = (fmt_type != 0)[:, None]
     code = jnp.where(is1, code1, band_type)
     scale_code = jnp.where(is1, scale_code1, cur_hdr)
     code = jnp.where(band_type == 0, 0, code)
 
-    scale = _SCALE_MANT[scale_code & 3] >> (15 - ((scale_code >> 2) & 0xF))
+    scale = bd._sel4_mant(scale_code) >> (15 - ((scale_code >> 2) & 0xF))
 
     has_data = active & (band_type != 0)
     code = jnp.where(has_data, code, 0)
     dense = jnp.where(has_data, out_count, 0)
     advance = jnp.where(active & (band_type == 0), out_count,
                         jnp.where(has_data, out_count * out_inc, 0))
-    return {"code": code, "scale": scale, "dense": dense,
+    return {"code": code, "scale": scale,
+            "scale_code": scale_code * jnp.ones_like(band_type),
+            "dense": dense,
             "out_inc": out_inc * jnp.ones_like(band_type), "advance": advance}
 
 

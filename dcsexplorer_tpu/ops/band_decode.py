@@ -71,8 +71,11 @@ _PREADJ = np.stack([np.asarray(T.PREADJ0), np.asarray(T.PREADJ3)]).astype(np.int
 _OUT_COUNT = np.asarray(T.BAND_OUTPUT_COUNT, dtype=np.int32)  # [16]
 _SCALE_MANT = np.asarray(T.SCALE_MANTISSA, dtype=np.int32)    # [4]
 
-# packed per-symbol control layout: code | maxw<<5 | cb_base<<10 | valid<<20
-_P_CODE, _P_MAXW, _P_CB, _P_VALID = 0, 5, 10, 20
+# packed per-symbol control layout:
+#   code | maxw<<5 | cb_base<<10 | valid<<20 | scale_code<<21
+#   | (out_inc-1)<<27 | start_parity<<28
+_P_CODE, _P_MAXW, _P_CB, _P_VALID, _P_SCALE = 0, 5, 10, 20, 21
+_P_INC2, _P_PAR = 27, 28
 
 
 def window_words(stream_bytes):
@@ -137,6 +140,40 @@ def quad_extract(quad, d, mw):
     return val.astype(jnp.int32)
 
 
+
+# static per-band lookup tables flattened for gather-free selection: the
+# band axis is static, so XT[band, v] chains as 16 fused compare/selects
+# with per-band constant columns instead of an [F,16] HBM gather
+_XT_BY_BAND = _XLAT_TYPE[_BAND_GROUP]            # [16 bands, 16 values]
+_XA_BY_BAND = _XLAT_ADJ[_BAND_GROUP]
+
+
+def _sel16_cols(tab, idx):
+    """tab: static [16 bands, 16 values]; idx: [F, 16] in 0..15.
+    out[f, b] = tab[b, idx[f, b]] via 16 fused selects (no gather)."""
+    out = jnp.zeros_like(idx)
+    for v in range(16):
+        col = jnp.asarray(tab[:, v], jnp.int32).reshape(1, -1)
+        out = jnp.where(idx == v, col, out)
+    return out
+
+
+def _sel16_flat(tab, idx):
+    """tab: static [16] values; idx: [F, 16] in 0..15 (16 fused selects)."""
+    out = jnp.zeros_like(idx)
+    for v in range(16):
+        out = jnp.where(idx == v, int(tab[v]), out)
+    return out
+
+
+def _sel4_mant(sel):
+    """Scale mantissa by low 2 bits, gather-free."""
+    m2 = sel & 3
+    return jnp.where(m2 == 0, 0x8000,
+                     jnp.where(m2 == 1, 0x9838,
+                               jnp.where(m2 == 2, 0xB505, 0xD745)))
+
+
 def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
     """Per-band control vectors for a batch of frames (all int32).
 
@@ -161,28 +198,27 @@ def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
         code = band_type
         scale_code = cur_hdr * jnp.ones_like(band_type)
     else:
-        group = jnp.asarray(_BAND_GROUP).reshape(1, 16)
-        padd = jnp.asarray(_PREADJ[1 if sub_type != 0 else 0])
+        padd = _PREADJ[1 if sub_type != 0 else 0]
         pre = jnp.where(jnp.arange(16).reshape(1, 16) < 3,
-                        padd[jnp.clip(band_type_prev, 0, 15)], 0)
+                        _sel16_flat(padd, jnp.clip(band_type_prev, 0, 15)), 0)
         hdr_adj = cur_hdr + pre
         bt = jnp.clip(band_type, 0, 15)
-        code = jnp.asarray(_XLAT_TYPE)[group, bt]
-        scale_code = hdr_adj + jnp.asarray(_XLAT_ADJ)[group, bt]
+        code = _sel16_cols(_XT_BY_BAND, bt)
+        scale_code = hdr_adj + _sel16_cols(_XA_BY_BAND, bt)
         code = jnp.where(band_type == 0, 0, code)
 
-    scale = (jnp.asarray(_SCALE_MANT)[scale_code & 3]
-             >> (15 - ((scale_code >> 2) & 0xF)))
+    scale = _sel4_mant(scale_code) >> (15 - ((scale_code >> 2) & 0xF))
 
     has_data = active & (band_type != 0)
     code = jnp.where(has_data, code, 0)
+    scale_code_out = scale_code * jnp.ones_like(band_type)
     dense = jnp.where(has_data, out_count, 0)
     # frame-buffer advance: halved count when skipped, count*inc when decoded
     # (replicates the reference's asymmetric skip advance, :1886 vs :2244)
     advance = jnp.where(active & (band_type == 0), out_count,
                         jnp.where(has_data, out_count * out_inc, 0))
-    return {"code": code, "scale": scale, "dense": dense,
-            "out_inc": out_inc, "advance": advance}
+    return {"code": code, "scale": scale, "scale_code": scale_code_out,
+            "dense": dense, "out_inc": out_inc, "advance": advance}
 
 
 def _expand(starts, values, n_slots):
@@ -190,17 +226,18 @@ def _expand(starts, values, n_slots):
 
     starts: [F, 16] nondecreasing; values: [F, 16].  Bands sharing a start
     (zero-width) telescope so the last one wins, matching band ordering.
-    Implemented as scatter-add of successive diffs + cumsum along slots.
+    Boundary-sum formulation: out = sum_b [starts_b <= d] * diff_b — 16
+    fused compare/add passes over [F, n_slots], no scatter and no cumsum
+    (the scatter-add + cumsum version measured ~3x slower on chip).
     """
-    F = starts.shape[0]
     diffs = jnp.concatenate(
         [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1)
-    rows = (jnp.arange(F, dtype=jnp.int32)[:, None]
-            * jnp.ones((1, 16), jnp.int32)).reshape(-1)
-    cols = jnp.clip(starts, 0, n_slots).reshape(-1)
-    grid = jnp.zeros((F, n_slots + 1), jnp.int32)
-    grid = grid.at[rows, cols].add(diffs.reshape(-1))
-    return jnp.cumsum(grid[:, :n_slots], axis=1)
+    dgrid = jnp.arange(n_slots, dtype=jnp.int32).reshape(1, n_slots)
+    out = jnp.zeros((starts.shape[0], n_slots), jnp.int32)
+    for b in range(starts.shape[1]):
+        out = out + jnp.where(starts[:, b:b + 1] <= dgrid,
+                              diffs[:, b:b + 1], 0)
+    return out
 
 
 def slot_controls(ctl, n_slots=256):
@@ -232,18 +269,32 @@ def slot_controls(ctl, n_slots=256):
     maxw_b = jnp.where(is_cb_b, jnp.asarray(_MAXW)[jnp.clip(code_b, 0, 6)],
                        jnp.clip(code_b, 0, 17))
     cb_b = jnp.asarray(_CB_BASE)[jnp.clip(code_b, 0, 6)]
-    packed_b = code_b | (maxw_b << _P_MAXW) | (cb_b << _P_CB) | (1 << _P_VALID)
+    # decimated (out_inc=2) bands interleave zero slots; the symbol mask
+    # only needs the band's start PARITY and the inc flag, so both ride in
+    # the packed word and the geometry expansion disappears entirely
+    packed_b = (code_b | (maxw_b << _P_MAXW) | (cb_b << _P_CB)
+                | (1 << _P_VALID)
+                | ((ctl["scale_code"] & 0x3F) << _P_SCALE)
+                | ((ctl["out_inc"] - 1) << _P_INC2)
+                | ((band_start & 1) << _P_PAR))
     packed_b = jnp.where(code_b != 0, packed_b, 0)
 
     dgrid = jnp.arange(n_slots, dtype=jnp.int32).reshape(1, n_slots)
     packed = _expand(band_start, packed_b, n_slots)
-    scale = _expand(band_start, ctl["scale"], n_slots)
-    # decimated bands interleave zero slots: geometry = start(9) | inc-1(1)
-    geom_b = band_start | ((ctl["out_inc"] - 1) << 9)
-    geom = _expand(band_start, geom_b, n_slots)
-    start_x = geom & 0x1FF
-    inc_x = ((geom >> 9) & 1) + 1
-    on_symbol = ((dgrid - start_x) % inc_x) == 0
+    # the scale derives elementwise from the packed word (the scale value
+    # depends only on the low 6 bits of the scale code) — one less
+    # scatter+cumsum expansion over [F, n_slots].  Filler/invalid slots
+    # (packed==0) get scale 1; their sample is 0, so scaled stays 0 and
+    # the accumulate is still an exact pass-through.
+    sc = (packed >> _P_SCALE) & 0x3F
+    m2 = sc & 3
+    mant = jnp.where(m2 == 0, 0x8000,
+                     jnp.where(m2 == 1, 0x9838,
+                               jnp.where(m2 == 2, 0xB505, 0xD745)))
+    scale = mant >> (15 - ((sc >> 2) & 0xF))
+    inc2 = (packed >> _P_INC2) & 1
+    par = (packed >> _P_PAR) & 1
+    on_symbol = (inc2 == 0) | ((dgrid & 1) == par)
     valid = dgrid < total[:, None]
     packed = jnp.where(valid & on_symbol, packed, 0)
     return packed, scale, total
