@@ -54,26 +54,20 @@ def main():
         pcm = flatsweep.flat_pipeline(*a)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    # with more than one chip, shard the frame-row batch axis across the
-    # devices (pool replicated; the overlap shift lowers to a neighbor
-    # collective-permute) and report per-chip throughput
+    # with more than one chip, shard the flat frame axis across the devices
+    # via the first-class sharded pipeline (parallel/sweep.py, bit-exactness
+    # tested on the virtual mesh in tests/test_parallel.py) and report
+    # per-chip throughput
     devs = jax.devices()
     n_dev = len(devs)
     if n_dev > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        mesh = Mesh(np.array(devs), ("batch",))
-        repl = NamedSharding(mesh, P())
-        row = NamedSharding(mesh, P("batch"))
-        N = args[1].shape[0]
-        pad = (-N) % n_dev
-        if pad:
-            for k in range(1, 10):
-                widths = [(0, 0)] * args[k].ndim
-                widths[0] = (0, pad)
-                args[k] = jnp.pad(args[k], widths)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dcsexplorer_tpu.parallel import sweep as psweep
+        mesh = psweep.make_flat_mesh(devs)
+        args = list(psweep.pad_flat(tuple(args), n_dev))
         fn = jax.jit(sweep, static_argnums=(10,),
-                     in_shardings=(repl,) + (row,) * 9,
-                     out_shardings=repl)
+                     in_shardings=psweep.flat_shardings(mesh),
+                     out_shardings=NamedSharding(mesh, P()))
     else:
         fn = jax.jit(sweep, static_argnums=(10,))
     int(fn(*args))   # compile + warm-up (fetch forces execution)

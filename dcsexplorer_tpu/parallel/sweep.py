@@ -20,6 +20,71 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import batched
 
 
+def make_flat_mesh(devices=None):
+    """1-D mesh over the flat frame axis (tracks × frames fused).
+
+    The flagship flat sweep (models/flatsweep.py) packs every frame of every
+    stream onto one axis, so a single 'batch' mesh axis gives combined data
+    parallelism (across streams) and sequence parallelism (across frames
+    within a stream) at once.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), ("batch",))
+
+
+def flat_shardings(mesh):
+    """in_shardings for flat_pipeline's 10 dynamic args on a flat mesh.
+
+    The quad-window byte pool (arg 0) is replicated; every per-frame array
+    shards over the flat frame axis.  The overlap-add carry shift
+    (flat_pipeline's tails[:-1] concat) lowers to a neighbor
+    collective-permute at shard boundaries.
+    """
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("batch"))
+    return (repl,) + (row,) * 9
+
+
+def pad_flat(args, n_shards):
+    """Pad FlatSweep args' flat frame axis to a multiple of n_shards.
+
+    Padding rows are inert: a zero header gives band_type 0 everywhere (no
+    symbols, zero output), and since the overlap carry only flows forward,
+    trailing pad rows cannot perturb any real row.  Callers slice the output
+    back to the original length.
+    """
+    args = list(args)
+    N = args[1].shape[0]
+    pad = (-N) % n_shards
+    if pad:
+        for k in range(1, 10):
+            a = jnp.asarray(args[k])
+            widths = [(0, 0)] * a.ndim
+            widths[0] = (0, pad)
+            args[k] = jnp.pad(a, widths)
+    return tuple(args)
+
+
+def sharded_flat_sweep(mesh, args):
+    """Run the flagship flat-frame sweep sharded over the mesh.
+
+    args: FlatSweep.args() with args[0] already expanded to quad windows
+    (ops.band_decode.window_quads).  Returns pcm [N, 240] (u16 storage) with
+    any padding rows stripped — bit-identical to the single-device
+    flat_pipeline (asserted in tests/test_parallel.py).
+    """
+    from ..models import flatsweep
+
+    N = args[1].shape[0]
+    args = pad_flat(args, mesh.devices.size)
+    out = NamedSharding(mesh, P("batch", None))
+    fn = jax.jit(flatsweep.flat_pipeline, static_argnums=(10,),
+                 in_shardings=flat_shardings(mesh), out_shardings=out)
+    with mesh:
+        pcm = fn(*args)
+    return pcm[:N]
+
+
 def make_mesh(devices=None, frame_shards=1):
     """Mesh over (tracks, frames).  frame_shards divides the device count."""
     devices = list(devices if devices is not None else jax.devices())

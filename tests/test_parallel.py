@@ -12,7 +12,8 @@ import pytest
 
 import jax
 
-from dcsexplorer_tpu.models import batched
+from dcsexplorer_tpu.models import batched, flatsweep
+from dcsexplorer_tpu.ops import band_decode as bd
 from dcsexplorer_tpu.parallel import sweep
 
 ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -52,3 +53,29 @@ def test_sharded_sweep_bit_exact(frame_shards):
     assert sharded.shape == single.shape
     assert np.array_equal(sharded, single), (
         f"sharded (frames={frame_shards}) diverged from single-device")
+
+
+def test_sharded_flat_sweep_bit_exact():
+    """The FLAGSHIP flat sweep sharded over the flat-frame axis must be
+    bit-identical to the single-device flat pipeline — including the
+    overlap-add carry crossing shard boundaries and padding rows being
+    inert.  The asset catalog's total frame count is not a multiple of 8,
+    so the pad_flat path is exercised too."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    streams = [open(p, "rb").read()
+               for p in sorted(glob.glob(os.path.join(ASSETS, "*.dcs94")))]
+    streams = streams * 3
+    sw = flatsweep.FlatSweep(streams).pack()
+
+    single = flatsweep.run_flat(sw)
+
+    args = list(sw.args())
+    args[0] = bd.window_quads(args[0])
+    mesh = sweep.make_flat_mesh(jax.devices()[:8])
+    pcm = np.asarray(sweep.sharded_flat_sweep(mesh, tuple(args)))
+    sharded = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)
+
+    assert sharded.shape == single.shape
+    assert np.array_equal(sharded, single), (
+        "sharded flat sweep diverged from single-device")
