@@ -72,14 +72,14 @@ def band_controls_dyn(header, fmt_type, sub_type, band_type, band_type_prev):
     scale_code = jnp.where(is1, scale_code1, cur_hdr)
     code = jnp.where(band_type == 0, 0, code)
 
-    scale = bd._sel4_mant(scale_code) >> (15 - ((scale_code >> 2) & 0xF))
-
     has_data = active & (band_type != 0)
     code = jnp.where(has_data, code, 0)
     dense = jnp.where(has_data, out_count, 0)
     advance = jnp.where(active & (band_type == 0), out_count,
                         jnp.where(has_data, out_count * out_inc, 0))
-    return {"code": code, "scale": scale,
+    # scale value intentionally omitted: slot_controls derives it from the
+    # scale code packed into the control word (one source of truth)
+    return {"code": code,
             "scale_code": scale_code * jnp.ones_like(band_type),
             "dense": dense,
             "out_inc": out_inc * jnp.ones_like(band_type), "advance": advance}

@@ -207,8 +207,6 @@ def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
         scale_code = hdr_adj + _sel16_cols(_XA_BY_BAND, bt)
         code = jnp.where(band_type == 0, 0, code)
 
-    scale = _sel4_mant(scale_code) >> (15 - ((scale_code >> 2) & 0xF))
-
     has_data = active & (band_type != 0)
     code = jnp.where(has_data, code, 0)
     scale_code_out = scale_code * jnp.ones_like(band_type)
@@ -217,7 +215,10 @@ def band_controls(header, sub_type, fmt_type, band_type, band_type_prev):
     # (replicates the reference's asymmetric skip advance, :1886 vs :2244)
     advance = jnp.where(active & (band_type == 0), out_count,
                         jnp.where(has_data, out_count * out_inc, 0))
-    return {"code": code, "scale": scale, "scale_code": scale_code_out,
+    # NOTE: the scale VALUE is not returned — slot_controls derives it
+    # elementwise from the scale code packed into the control word, keeping
+    # one source of truth (the end-to-end parity suites pin the result).
+    return {"code": code, "scale_code": scale_code_out,
             "dense": dense, "out_inc": out_inc, "advance": advance}
 
 

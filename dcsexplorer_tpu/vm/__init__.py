@@ -1,19 +1,17 @@
-"""Track byte-code VM — facade.
+"""Track byte-code VM.
 
-The VM implementation lives inside the runtime decoder
-(refdec/decoder.py `_exec_track`, `irq2_handler`, the command queue and the
-boot state machine) because it shares the per-channel state with stream
-playback, exactly as in the reference (DCSDecoderNative.cpp:848-1228).
-This package re-exports the pieces tooling normally wants:
-
-- ``ReferenceDecoder`` — the full runtime (VM + decode).
-- ``ControlTracer`` — the VM alone, numerics stubbed, recording per-frame
-  control vectors for the device pipeline.
+- ``ControlTracer`` (vm/tracer.py, lives HERE) — the VM alone, numerics
+  stubbed, recording per-frame control vectors for the device pipeline.
+- ``ReferenceDecoder`` — the full runtime (VM + decode).  The byte-code
+  interpreter itself (`_exec_track`, `irq2_handler`, the command queue and
+  the boot state machine) lives inside refdec/decoder.py because it shares
+  per-channel state with stream playback, exactly as in the reference
+  (DCSDecoderNative.cpp:848-1228).
 - ``tracks`` — static analysis: decompiler, explainer, loop-aware timing.
 """
 
-from ..models.pipeline import ControlTracer
 from ..refdec.decoder import ReferenceDecoder
 from ..rom import tracks
+from .tracer import ControlTracer
 
 __all__ = ["ControlTracer", "ReferenceDecoder", "tracks"]
