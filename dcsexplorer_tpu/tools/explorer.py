@@ -338,15 +338,49 @@ def cmd_interactive(rs, out_path, vol, secs_per_cmd, backend="native"):
     print(f"session audio -> {out_path} ({sink.data().size / 31250.0:.1f}s)")
 
 
+def _hex_frame(label, samples):
+    """One decoder's 240-sample frame as hex rows of 16 (u16 storage)."""
+    out = []
+    for off in range(0, len(samples), 16):
+        row = " ".join(f"{int(s) & 0xFFFF:04X}" for s in samples[off:off + 16])
+        out.append(f"  {label}[{off:3d}] {row}")
+    return out
+
+
+def _diff_runs(frames_bad):
+    """Collapse sorted differing frame indices into (first, last) runs."""
+    runs = []
+    for f in frames_bad:
+        f = int(f)
+        if runs and f == runs[-1][1] + 1:
+            runs[-1][1] = f
+        else:
+            runs.append([f, f])
+    return runs
+
+
+MAX_FRAME_DUMPS = 4        # full two-sided sample dumps for the first N bad frames
+HISTORY_DEPTH = 8          # recent data-port commands shown per dump
+
+
 def cmd_validate(rs, vol, max_frames, log_path=None):
-    """Lockstep: TPU pipeline vs scalar reference over an autoplay sweep
-    (mirrors the reference's --validate, DCSExplorer.cpp:1338-1566)."""
+    """Lockstep: TPU pipeline vs scalar reference over an autoplay sweep.
+
+    Mirrors the reference's --validate diagnostics (DCSExplorer.cpp:
+    1338-1481 per-frame compare with both decoders' sample dumps and the
+    recent command history for repro; 1513-1566 diff-run aggregation and
+    final report): every 16-bit PCM sample and every DCS->host data-port
+    byte is compared, mismatching frames are aggregated into consecutive
+    runs, and the first few differing frames are dumped from BOTH decoders
+    alongside the data-port commands that led up to them.
+    """
     from ..models import romplay
     from ..refdec import decoder as rd
     pcm, schedule, tracer = romplay.autoplay(rs, default_volume=vol,
                                              max_frames_per_track=max_frames,
                                              return_tracer=True)
     events = {}
+    history = []   # (frame, [bytes...], meaning) — the repro command log
     for (t, frame, _) in schedule:
         def make_event(track):
             def ev(dec):
@@ -355,6 +389,8 @@ def cmd_validate(rs, vol, max_frames, log_path=None):
                 dec.write_data_port(track & 0xFF)
             return ev
         events[frame] = make_event(t)
+        history.append((frame, [(t >> 8) & 0xFF, t & 0xFF],
+                        f"play track ${t:04X}"))
     dec = rd.ReferenceDecoder()
     dec.default_volume = vol
     dec.load_rom_set(rs)
@@ -368,24 +404,68 @@ def cmd_validate(rs, vol, max_frames, log_path=None):
     golden = np.array(golden, dtype=np.int16)
     mism = np.nonzero(golden != pcm)[0]
     frames_bad = np.unique(mism // 240)
+    runs = _diff_runs(frames_bad)
+
     # DCS->host data-port history must match as well (reference compares
     # both PCM and the data-port bytes, DCSExplorer.cpp:1440-1481)
-    port_ok = list(tracer.host.rx) == list(dec.host.rx)
-    lines = [f"Samples compared: {golden.size}",
-             f"Sample mismatches: {mism.size} in {frames_bad.size} frames",
-             f"Data port bytes: {len(dec.host.rx)} "
-             f"({'match' if port_ok else 'MISMATCH'})"]
+    ref_rx, tpu_rx = list(dec.host.rx), list(tracer.host.rx)
+    port_ok = ref_rx == tpu_rx
+
+    summary = [f"Samples compared: {golden.size} ({n} frames)",
+               f"Sample mismatches: {mism.size} in {frames_bad.size} frames"
+               f" ({len(runs)} diff runs)",
+               f"Data port bytes: {len(ref_rx)} "
+               f"({'match' if port_ok else 'MISMATCH'})"]
     failed = bool(mism.size) or not port_ok
-    if mism.size:
-        i = int(mism[0])
-        lines.append(f"First diff at sample {i} (frame {i//240}): "
-                     f"scalar={golden[i]} tpu={pcm[i]}")
-    lines.append("Validation FAILED" if failed else "Validation Succeeded")
-    for ln in lines:
+
+    detail = []
+    if runs:
+        detail.append("Diff runs (consecutive mismatching frames):")
+        for a, b in runs:
+            nbad = int(np.sum((frames_bad >= a) & (frames_bad <= b))) * 240
+            detail.append(f"  frames {a}..{b} "
+                          f"({b - a + 1} frames, {nbad} samples spanned)")
+    for f in frames_bad[:MAX_FRAME_DUMPS]:
+        f = int(f)
+        s, e = f * 240, (f + 1) * 240
+        bad_in_frame = mism[(mism >= s) & (mism < e)]
+        detail.append(f"Frame {f}: {bad_in_frame.size} differing samples, "
+                      f"first at offset {int(bad_in_frame[0]) - s}")
+        recent = [h for h in history if h[0] <= f][-HISTORY_DEPTH:]
+        if recent:
+            detail.append("  recent data-port commands (repro):")
+            for (hf, hb, meaning) in recent:
+                detail.append(f"    frame {hf}: "
+                              + " ".join(f"{b:02X}" for b in hb)
+                              + f"  ; {meaning}")
+        detail += _hex_frame("scalar", golden[s:e])
+        detail += _hex_frame("tpu   ", pcm[s:e])
+    if frames_bad.size > MAX_FRAME_DUMPS:
+        detail.append(f"... {frames_bad.size - MAX_FRAME_DUMPS} more "
+                      f"differing frames (dumps capped)")
+    if not port_ok:
+        k = next((i for i, (a, b) in enumerate(zip(ref_rx, tpu_rx))
+                  if a != b), min(len(ref_rx), len(tpu_rx)))
+        lo = max(0, k - 8)
+        detail.append(f"Data port diverges at byte {k}:")
+        detail.append("  scalar: " + " ".join(
+            f"{b:02X}" for b in ref_rx[lo:k + 8]))
+        detail.append("  tpu   : " + " ".join(
+            f"{b:02X}" for b in tpu_rx[lo:k + 8]))
+
+    verdict = "Validation FAILED" if failed else "Validation Succeeded"
+    lines = summary + detail + [verdict]
+    for ln in summary:
         print(ln)
+    if failed and not log_path:
+        for ln in detail:
+            print(ln)
+    print(verdict)
     if log_path:
         with open(log_path, "w") as f:
             f.write("\n".join(lines) + "\n")
+        if failed:
+            print(f"per-frame dumps and command history -> {log_path}")
     return 1 if failed else 0
 
 

@@ -61,3 +61,61 @@ def test_cli_bad_rom(tmp_path):
 def test_cli_missing_file():
     r = _run(["/nonexistent/rom.zip"])
     assert r.returncode == 2
+
+def test_validate_diagnostics_on_forced_mismatch(rom_zip, tmp_path, monkeypatch):
+    """A forced PCM mismatch must produce a debuggable log: diff-run
+    aggregation, both decoders' per-frame sample dumps, and the recent
+    data-port command history (reference: DCSExplorer.cpp:1425-1447,
+    1513-1566)."""
+    from dcsexplorer_tpu.models import romplay
+    from dcsexplorer_tpu.rom import zipload
+    from dcsexplorer_tpu.tools import explorer
+
+    real_autoplay = romplay.autoplay
+
+    def corrupted(*a, **kw):
+        pcm, schedule, tracer = real_autoplay(*a, **kw)
+        pcm = pcm.copy()
+        pcm[240 * 3 + 17] ^= 0x55       # frame 3
+        pcm[240 * 4: 240 * 6] ^= 0x2A   # frames 4-5 (one run with frame 3)
+        pcm[240 * 9 + 1] ^= 0x01        # frame 9 (separate run)
+        return pcm, schedule, tracer
+
+    monkeypatch.setattr(romplay, "autoplay", corrupted)
+    rs, _ = zipload.load_zip_file(rom_zip)
+    log = tmp_path / "validate.log"
+    rc = explorer.cmd_validate(rs, 0x67, 60, log_path=str(log))
+    assert rc == 1
+    text = log.read_text()
+    assert "Validation FAILED" in text
+    assert "2 diff runs" in text
+    assert "frames 3..5" in text and "frames 9..9" in text
+    # both decoders' sample dumps for the differing frames
+    assert "Frame 3:" in text
+    assert "scalar[  0]" in text and "tpu   [  0]" in text
+    # the repro command history
+    assert "recent data-port commands" in text
+    assert "play track $" in text
+
+
+def test_validate_diagnostics_on_port_mismatch(rom_zip, tmp_path, monkeypatch):
+    """A data-port history divergence is reported with both byte streams."""
+    from dcsexplorer_tpu.models import romplay
+    from dcsexplorer_tpu.rom import zipload
+    from dcsexplorer_tpu.tools import explorer
+
+    real_autoplay = romplay.autoplay
+
+    def port_corrupted(*a, **kw):
+        pcm, schedule, tracer = real_autoplay(*a, **kw)
+        tracer.host.rx.append(0xEE)     # phantom extra DCS->host byte
+        return pcm, schedule, tracer
+
+    monkeypatch.setattr(romplay, "autoplay", port_corrupted)
+    rs, _ = zipload.load_zip_file(rom_zip)
+    log = tmp_path / "validate.log"
+    rc = explorer.cmd_validate(rs, 0x67, 60, log_path=str(log))
+    assert rc == 1
+    text = log.read_text()
+    assert "Data port diverges at byte" in text
+    assert "EE" in text
