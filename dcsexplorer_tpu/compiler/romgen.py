@@ -152,14 +152,25 @@ class RomBuilder:
         u2.write(0x0000, bytes([0x18, 0x00, 0x0F, 0xFF]))
         sig = spec.signature.encode("ascii", "replace")[:119] + b"\x00"
         u2.write(0x0004, sig)
-        # Soft-boot program at $1000: a synthesized runnable mini-firmware
-        # (silence + data-port service) so generated ROMs boot on the
-        # emulator backend too; its first word is the JUMP the U2
-        # identification heuristics look for.  ($2000 keeps a JUMP for
-        # DCS-95-style layouts.)
+        # Soft-boot program at $1000.  OS94 ROMs carry the full synthesized
+        # *decoding* firmware (compiler/firmware94.py): boot block + PM
+        # overlay + decoder tables, so the emulator backend plays their
+        # audio, bit-exact against the native decoder.  Other versions get
+        # the minimal mini-firmware (silence + data-port service).  The
+        # first boot word is the JUMP the U2 identification heuristics look
+        # for.  ($2000 keeps a JUMP for DCS-95-style layouts.)
         from .firmware import build_firmware, encode_boot_block
-        u2.write(0x1000, encode_boot_block(
-            build_firmware(3 if self.is95 else 2)))
+        if spec.os_version == OS94:
+            from . import firmware94 as fw94
+            boot, overlay, _ = fw94.build_decoder_firmware(
+                catalog_ofs=self.catalog_ofs)
+            u2.write(0x1000, encode_boot_block(boot))
+            u2.write(fw94.OVERLAY_ROM_ADDR, fw94.overlay_blob(overlay))
+            u2.write(fw94.TABLES_ROM_ADDR, fw94.table_blob())
+            self._fw_reserve_end = fw94.FW_RESERVE[1]
+        else:
+            u2.write(0x1000, encode_boot_block(
+                build_firmware(3 if self.is95 else 2)))
         u2.write(0x2000, bytes([0x18, 0x00, 0x0F, 0xFF]))
 
         def put_ops(ofs, words):
@@ -192,8 +203,11 @@ class RomBuilder:
         self._boot_block(u2)
 
         # reserve the fixed-layout region: boot block + catalog area
+        # (+ the decoding firmware's overlay/table blobs when present)
         n_tracks = (max(t.number for t in spec.tracks) + 1) if spec.tracks else 0
         u2.reserve(0, at=self.catalog_ofs + 0x48)
+        if getattr(self, "_fw_reserve_end", 0):
+            u2.reserve(0, at=self._fw_reserve_end)
         track_index_ofs = u2.reserve(n_tracks * 3)
         di_ids = sorted(spec.di_tables)
         di_index_ofs = u2.reserve((max(di_ids) + 1) * 3 if di_ids else 3)

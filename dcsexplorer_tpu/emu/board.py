@@ -24,9 +24,12 @@ reference: DCSDecoderEmu.cpp:644-890) is intentionally not replicated:
 this backend is the strict-mode reference point, and the framework's fast
 path is the TPU pipeline, not the emulator.
 
-Note: this backend requires real DCS firmware in U2.  ROMs produced by
-the framework's compiler carry detector signatures but not a runnable
-decoder program, so they boot only as far as the patch-point search.
+Original DCS ROMs run their own firmware here.  ROM sets produced by the
+framework's compiler carry a synthesized, runnable decoder program
+(compiler/firmware94.py for OS94 — a complete 94x decoder whose PCM
+bit-matches the native backend; compiler/firmware.py for the other
+versions — boot + data-port service), so generated ROMs boot and, on
+OS94, fully decode through this backend too.
 """
 
 from ..refdec import decoder as rd

@@ -258,12 +258,15 @@ def test_compiler_roms_boot_in_emulator():
     dec.soft_boot()
     assert dec.state == rd.ST_RUNNING, dec.error_message
     out = dec.next_samples(480)
-    assert out == [0] * 480                 # silence frames
+    assert out == [0] * 480                 # silence until a track plays
     dec.write_data_port(0x37)
     dec.next_samples(240)
-    assert dec.cpu.dm[0x0810] == 0x37       # firmware serviced the port
+    # the decoding firmware's IRQ2 latched the byte as a command-word high
+    from dcsexplorer_tpu.compiler.firmware94 import SYM
+    assert dec.cpu.dm[SYM["DPW"]] == 0x3700
+    assert dec.cpu.dm[SYM["NDP"]] == 1
     # the master-volume variable was located by signature
-    assert dec.master_volume_addr == 0x0900
+    assert dec.master_volume_addr == SYM["VOL_NOM"]
 
 
 def _compiled_emulated():
@@ -284,25 +287,27 @@ def test_firmware_data_port_protocol():
     """The synthesized firmware's IRQ2 handler implements the real
     byte-at-a-time protocol: $55AA volume with ~complement check, $55C2/C3
     version queries answered on the port, track commands latched."""
+    from dcsexplorer_tpu.compiler.firmware94 import CMDQ, SYM
     dec = _compiled_emulated()
     # master volume command: 55 AA 50 AF
     for b in (0x55, 0xAA, 0x50, 0xAF):
         dec.write_data_port(b)
     dec.next_samples(240)
-    assert dec.cpu.dm[0x0900] == 0x50
+    assert dec.cpu.dm[SYM["VOL_NOM"]] == 0x50
     # a bad complement must NOT update the volume
     for b in (0x55, 0xAA, 0x71, 0x00):
         dec.write_data_port(b)
     dec.next_samples(240)
-    assert dec.cpu.dm[0x0900] == 0x50
+    assert dec.cpu.dm[SYM["VOL_NOM"]] == 0x50
     # version queries reply on the data port
     dec.host.rx.clear()
     for b in (0x55, 0xC2, 0x55, 0xC3):
         dec.write_data_port(b)
     dec.next_samples(240)
     assert dec.host.rx == [0x01, 0x06]
-    # a plain track command latches
+    # a plain track command goes through the command ring
     for b in (0x12, 0x34):
         dec.write_data_port(b)
     dec.next_samples(240)
-    assert dec.cpu.dm[0x0823] == 0x1234
+    assert dec.cpu.dm[CMDQ] == 0x1234
+    assert dec.cpu.dm[SYM["CQT"]] == 1
