@@ -1,15 +1,25 @@
 #!/usr/bin/env python
 """Benchmark: batched DCS decode throughput (×realtime per chip).
 
-Runs the full device decode pipeline (Huffman symbol decode → dequant/scale →
-inverse transform → overlap-add) over a padded batch of DCS streams — the
-catalog-sweep configuration (BASELINE config #3) — and reports throughput as
-a multiple of the DCS real-time rate (31,250 samples/s).
+Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
 
-``vs_baseline`` is measured against the reference's native-decoder floor of
-~20× realtime on one CPU core (BASELINE.md).
+- flat94        — headline: the flat catalog sweep (Huffman symbol decode →
+                  dequant/scale → inverse transform → overlap resolve) over
+                  the legacy four-tone corpus, comparable across rounds.
+- flat94_music  — the same sweep over the dense music corpus
+                  (assets/streams/music_*.dcs94; data-shaped scan length
+                  makes symbol density matter, ARCHITECTURE.md).
+- dec93b        — the 1993-format device kernel batched over music streams.
+- dec93a_t1     — the OS93a Type-1 (Judge Dredd) device kernel batched.
+- session6      — six simultaneous voices through the ROM-session pipeline
+                  (control vectors precomputed by the host VM, device does
+                  decode + mix + transform), the BASELINE #2 shape.
 
-Prints ONE JSON line.
+``vs_baseline`` compares the headline against the reference's native-
+decoder floor of ~20× realtime on one CPU core (BASELINE.md).
+
+Prints ONE JSON line; per-config numbers ride in the "configs" field.
+Env: DCS_BENCH_COPIES / DCS_BENCH_ITERS / DCS_BENCH_CONFIGS=a,b (subset).
 """
 
 import glob
@@ -17,49 +27,44 @@ import json
 import os
 import time
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+STREAMS = os.path.join(HERE, "assets", "streams")
+LEGACY = ("sine_mix_1s", "noise_sweep", "tone_low", "chirpy")
 
-def main():
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "build", "jax_cache"))
+
+def _read(names):
+    out = []
+    for n in names:
+        with open(os.path.join(STREAMS, n), "rb") as f:
+            out.append(f.read())
+    return out
+
+
+def _timeit(fn, args, iters):
+    int(fn(*args))                        # compile + warm-up
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(fn(*args))                    # fetch forces execution on axon
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_flat94(streams, copies, iters, shard=True):
     import jax
-    import numpy as np
-
+    import jax.numpy as jnp
     from dcsexplorer_tpu.models import flatsweep
     from dcsexplorer_tpu.ops import band_decode as bd
 
-    streams = []
-    for path in sorted(glob.glob(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "assets", "streams", "*.dcs94"))):
-        with open(path, "rb") as f:
-            streams.append(f.read())
-    assert streams, "no benchmark streams found under assets/streams/"
-
-    # replicate the stream set into a catalog-sized batch
-    # measured sweet spot on one v5e chip (quad-window scan): ~4400x at
-    # 240-288 catalog copies, regressing beyond ~330 (HBM pressure)
-    copies = int(os.environ.get("DCS_BENCH_COPIES", "288"))
     catalog = streams * copies
     sweep_in = flatsweep.FlatSweep(catalog).pack()
     args = list(sweep_in.args())
     args[0] = bd.window_quads(args[0])
 
-    import jax.numpy as jnp
-
-    # Reduce to a tiny on-device checksum and fetch it: on the tunneled TPU
-    # platform block_until_ready() does not reliably block, and fetching the
-    # full PCM would time the (slow dev-tunnel) transfer, not the decode.
     def sweep(*a):
         pcm = flatsweep.flat_pipeline(*a)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    # with more than one chip, shard the flat frame axis across the devices
-    # via the first-class sharded pipeline (parallel/sweep.py, bit-exactness
-    # tested on the virtual mesh in tests/test_parallel.py) and report
-    # per-chip throughput
     devs = jax.devices()
-    n_dev = len(devs)
+    n_dev = len(devs) if shard else 1
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from dcsexplorer_tpu.parallel import sweep as psweep
@@ -70,21 +75,149 @@ def main():
                      out_shardings=NamedSharding(mesh, P()))
     else:
         fn = jax.jit(sweep, static_argnums=(10,))
-    int(fn(*args))   # compile + warm-up (fetch forces execution)
+    dt = _timeit(fn, args, iters)
+    return sweep_in.audio_samples / 31250.0 / dt / n_dev
 
+
+def _bench_93_family(stream, is_t1, copies, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dcsexplorer_tpu.models.pipeline import ControlTracer
+    from dcsexplorer_tpu.ops import band_decode as bd
+    from dcsexplorer_tpu.ops import decode93, decode93a, transform as tf
+    from dcsexplorer_tpu.refdec.decoder import OS93A, OS93B
+
+    mod = decode93a if is_t1 else decode93
+    idx = (decode93a.prescan93a(stream, 0) if is_t1
+           else decode93.prescan93(stream, 0))
+    n_frames = idx.n_frames
+
+    tr = ControlTracer()
+    tr.default_volume = 255
+    tr.init_standalone(OS93A if is_t1 else OS93B)
+    tr.soft_boot()
+    tr.load_audio_stream(0, stream, mixing_level=0x64)
+    tr.trace_frames(n_frames)
+    mix = np.zeros(n_frames, dtype=np.int32)
+    for t, entries in enumerate(tr.trace_entries):
+        for (c, _, fidx, m) in entries:
+            if c == 0 and fidx == t:
+                mix[t] = m
+    vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+
+    pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
+                         dtype=np.uint8).astype(np.int32)
+    wwords = bd.window_words(jnp.asarray(pool))
+    arrays = mod.index_arrays(idx)
+
+    # batch: replicate the stream K ways (identical shapes → plain vmap)
+    rep = lambda a: jnp.broadcast_to(a, (copies,) + a.shape)
+    wwB = rep(wwords)
+    arrB = jax.tree.map(rep, arrays)
+    mixB = rep(jnp.asarray(mix))
+    volB = rep(jnp.asarray(vol))
+
+    def one(ww, arrs, mixv, volv):
+        fb = mod.decode93a_frames(ww, arrs, mixv) if is_t1 else \
+            mod.decode93_frames(ww, arrs, mixv)
+        raw = tf.transform93_raw(fb, volv)
+        pcm, _ = tf.overlap_resolve93(raw, jnp.zeros(16, jnp.int32))
+        return pcm
+
+    def batch(ww, arrs, mixv, volv):
+        pcm = jax.vmap(one)(ww, arrs, mixv, volv)
+        return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
+
+    fn = jax.jit(batch)
+    dt = _timeit(fn, (wwB, arrB, mixB, volB), iters)
+    return copies * n_frames * 240 / 31250.0 / dt
+
+
+def bench_session6(iters):
+    """Six simultaneous voices through the ROM session pipeline."""
+    import numpy as np
+    from dcsexplorer_tpu.compiler import romgen as g
+    from dcsexplorer_tpu.models import pipeline as pl, romplay
+    from dcsexplorer_tpu.refdec import decoder as rd
+    from dcsexplorer_tpu.rom import zipload
+
+    names = ["music_a.dcs94", "music_b.dcs94"] + [f"{n}.dcs94" for n in LEGACY]
+    datas = _read(names)
+    spec = g.RomSpec(os_version=rd.OS94, num_channels=6)
+    spec.streams = {f"s{i}": d for i, d in enumerate(datas)}
+    spec.tracks = [g.TrackSpec(0, steps=[g.op_end()])]
+    for i in range(6):
+        spec.tracks.append(g.TrackSpec(i + 1, channel=i, steps=[
+            g.op_mix(0, i, 0x40 + 4 * i),
+            g.op_play(i, f"s{i}", repeat=0),
+            g.op_wait_forever(),
+        ]))
+    rs, _ = zipload.load_zip_data(g.RomBuilder(spec).build_zip())
+    rs.check()
+
+    n_frames = 1000
+    bank = romplay.build_rom_bank(rs)
+    tracer = pl.ControlTracer()
+    tracer.load_rom_set(rs)
+    tracer.soft_boot()
+
+    def start_all(dec):
+        for t in range(1, 7):
+            dec.write_data_port(0x00)
+            dec.write_data_port(t)
+    tracer.trace_frames(n_frames, events={0: start_all})
+    rows, mix, vol = pl.assemble_controls(tracer, bank)
+
+    import jax.numpy as jnp
+    jfn = bank.jitted()
+
+    def fn(r, m, v):
+        pcm, _ = jfn(r, m, v)
+        return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
+
+    import jax
+    fn = jax.jit(fn)
+    dt = _timeit(fn, (rows, mix, vol), iters)
+    return n_frames * 240 / 31250.0 / dt
+
+
+def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, "build", "jax_cache"))
+    copies = int(os.environ.get("DCS_BENCH_COPIES", "288"))
     iters = int(os.environ.get("DCS_BENCH_ITERS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        checksum = int(fn(*args))
-    dt = (time.perf_counter() - t0) / iters
+    only = os.environ.get("DCS_BENCH_CONFIGS")
+    only = set(only.split(",")) if only else None
 
-    audio_samples = sweep_in.audio_samples
-    xrt = audio_samples / 31250.0 / dt / n_dev
+    configs = {}
+
+    def want(name):
+        return only is None or name in only
+
+    if want("flat94"):
+        legacy = _read([f"{n}.dcs94" for n in LEGACY])
+        configs["flat94"] = bench_flat94(legacy, copies, iters)
+    if want("flat94_music"):
+        music = _read(["music_a.dcs94", "music_b.dcs94"])
+        configs["flat94_music"] = bench_flat94(
+            music, max(2, copies // 8), iters, shard=False)
+    if want("dec93b"):
+        configs["dec93b"] = _bench_93_family(
+            _read(["music_a.dcs93b"])[0], False, max(2, copies // 8), iters)
+    if want("dec93a_t1"):
+        configs["dec93a_t1"] = _bench_93_family(
+            _read(["dense_t1.dcs93a1"])[0], True, max(2, copies // 8), iters)
+    if want("session6"):
+        configs["session6"] = bench_session6(iters)
+
+    headline = configs.get("flat94", next(iter(configs.values())))
     print(json.dumps({
         "metric": "batched_decode_throughput",
-        "value": round(xrt, 1),
+        "value": round(headline, 1),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(xrt / 20.0, 2),
+        "vs_baseline": round(headline / 20.0, 2),
+        "configs": {k: round(v, 1) for k, v in configs.items()},
     }))
 
 

@@ -27,21 +27,34 @@ def test_batch_decode_bit_exact_vs_oracle():
     streams = _asset_streams()
     assert streams, "missing stream assets"
 
-    inputs = batched.SweepInputs(streams)
-    pcm = jax.jit(batched.batch_decode, static_argnums=(3, 4, 9))(*inputs.args())
-    pcm = np.asarray(pcm)
-    pcm_i16 = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16)
+    # the padded model takes fmt/sub as static arguments — its contract is
+    # one format family per batch (models/batched.py:46); the flagship flat
+    # sweep handles mixed-format catalogs.  Group accordingly.
+    groups = {}
+    for s in streams:
+        hdr = s[2:18]
+        fmt = (hdr[0] & 0x80) >> 7
+        sub = ((hdr[1] & 0x80) >> 6) | ((hdr[2] & 0x80) >> 7)
+        groups.setdefault((fmt, sub), []).append(s)
 
-    for k, s in enumerate(streams):
-        n = int(inputs.n_frames[k])
-        ref = oracle.OracleDecoder(os_version=oracle.OS94, default_volume=0x67)
-        ref.load_stream(s, channel=0, mixing_level=0x64)
-        golden = ref.next_samples(n * 240)
-        got = pcm_i16[k, :n].reshape(-1)
-        mism = np.nonzero(golden != got)[0]
-        assert mism.size == 0, (
-            f"stream {k}: {mism.size} mismatches, first at {mism[0]} "
-            f"(frame {mism[0]//240})")
+    for (fmt, sub), grp in groups.items():
+        inputs = batched.SweepInputs(grp)
+        pcm = jax.jit(batched.batch_decode,
+                      static_argnums=(3, 4, 9))(*inputs.args())
+        pcm = np.asarray(pcm)
+        pcm_i16 = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16)
+
+        for k, s in enumerate(grp):
+            n = int(inputs.n_frames[k])
+            ref = oracle.OracleDecoder(os_version=oracle.OS94,
+                                       default_volume=0x67)
+            ref.load_stream(s, channel=0, mixing_level=0x64)
+            golden = ref.next_samples(n * 240)
+            got = pcm_i16[k, :n].reshape(-1)
+            mism = np.nonzero(golden != got)[0]
+            assert mism.size == 0, (
+                f"fmt {fmt}/{sub} stream {k}: {mism.size} mismatches, "
+                f"first at {mism[0]} (frame {mism[0]//240})")
 
 
 def test_flat_sweep_bit_exact_vs_oracle():

@@ -20,9 +20,14 @@ ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       "assets", "streams")
 
 
+LEGACY = ("chirpy", "noise_sweep", "sine_mix_1s", "tone_low")
+
+
 def _inputs(pad_frames_to=None):
-    streams = [open(p, "rb").read()
-               for p in sorted(glob.glob(os.path.join(ASSETS, "*.dcs94")))]
+    # the padded model batches one format family (models/batched.py:46):
+    # use the single-format legacy corpus
+    streams = [open(os.path.join(ASSETS, f"{n}.dcs94"), "rb").read()
+               for n in LEGACY]
     streams = streams * 2           # 8 streams → shards over 'tracks'
     return batched.SweepInputs(streams)
 
