@@ -27,7 +27,8 @@ def get_lib():
     _tried = True
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
     srcs = [os.path.join(src_dir, f)
-            for f in ("dcs_native.cpp", "flac.cpp", "adsp2105.cpp")]
+            for f in ("dcs_native.cpp", "flac.cpp", "mp3.cpp",
+                      "adsp2105.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -58,6 +59,10 @@ def get_lib():
     lib.flac_info.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_void_p]
     lib.flac_decode.restype = C.c_int64
     lib.flac_decode.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_int64]
+    lib.mp3_info.restype = C.c_int
+    lib.mp3_info.argtypes = [C.c_char_p, C.c_int64, C.c_void_p]
+    lib.mp3_decode.restype = C.c_int64
+    lib.mp3_decode.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_int64]
     _lib = lib
     return _lib
 
@@ -225,3 +230,29 @@ def decode_dense_batch(streams, workers=None):
     workers = workers or min(16, os.cpu_count() or 4)
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(decode_dense, streams))
+
+
+def mp3_decode(data):
+    """Decode an MPEG-1 Layer III file with the native runtime
+    (native/src/mp3.cpp).
+
+    Returns (samples [N, channels] int16, rate) or None if the native
+    library is unavailable.  Raises ValueError on malformed/unsupported
+    input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(data)
+    meta = np.zeros(4, dtype=np.int32)
+    rc = lib.mp3_info(buf, len(buf), meta.ctypes.data_as(C.c_void_p))
+    if rc == -2:
+        raise ValueError("unsupported MPEG flavor (MPEG-1 Layer III only)")
+    if rc != 0:
+        raise ValueError(f"malformed MP3 file (error {rc})")
+    rate, nch, frames, _ = (int(x) for x in meta)
+    cap = (frames + 2) * 1152 * nch
+    out = np.zeros(cap, dtype=np.int16)
+    n = lib.mp3_decode(buf, len(buf), out.ctypes.data_as(C.c_void_p), cap)
+    if n < 0:
+        raise ValueError(f"malformed MP3 file (error {n})")
+    return out[:n].reshape(-1, nch), rate

@@ -106,12 +106,24 @@ def encode_file(path, out_path, params, check=False, os_version=None):
         dec.soft_boot()
         dec.load_audio_stream(0, stream, mixing_level=0x64)
         out = np.array(dec.next_samples(nf * 240), dtype=np.float64)
+        cmp_data = np.asarray(data, dtype=np.float64)
+        if int(meta) != 31250:
+            from ..encoder.resample import resample
+            cmp_data = resample(cmp_data, int(meta), 31250)
         src = np.zeros(nf * 240)
-        n = min(src.size, data.size)
-        src[:n] = data[:n]
-        g = np.dot(out, src) / max(np.dot(src, src), 1e-9)
-        err = out - g * src
-        snr = 10 * np.log10(max(np.sum((g * src) ** 2), 1e-9)
+        n = min(src.size, cmp_data.size)
+        src[:n] = cmp_data[:n]
+        # align for the resampler's group delay (inputs not at 31250 Hz)
+        w = min(8192, n)
+        lags = np.correlate(out[:w], src[:w], "full")
+        lag = int(np.argmax(np.abs(lags))) - (w - 1)
+        if lag > 0:
+            out_a, src_a = out[lag:], src[:src.size - lag]
+        else:
+            out_a, src_a = out[:out.size + lag], src[-lag:]
+        g = np.dot(out_a, src_a) / max(np.dot(src_a, src_a), 1e-9)
+        err = out_a - g * src_a
+        snr = 10 * np.log10(max(np.sum((g * src_a) ** 2), 1e-9)
                             / max(np.sum(err ** 2), 1e-9))
         msg += f"  [round-trip SNR {snr:.1f} dB]"
     print(msg)

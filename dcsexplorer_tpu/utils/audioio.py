@@ -140,14 +140,38 @@ def read_flac(path_or_bytes):
     return a.reshape(-1), rate
 
 
+def read_mp3(path_or_bytes):
+    """Read an MPEG-1 Layer III file via the from-scratch native decoder
+    (native/src/mp3.cpp); returns (float32 mono array in [-1, 1),
+    sample_rate).
+
+    Counterpart of the reference's libnyquist/minimp3 input path
+    (DCSEncoder/DCSEncodeFile.cpp:55-59)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    from .. import native
+    res = native.mp3_decode(data)
+    if res is None:
+        raise ValueError("MP3 input requires the native runtime "
+                         "(no C++ compiler available)")
+    samples, rate = res
+    a = samples.astype(np.float32) / 32768.0
+    if a.shape[1] > 1:
+        a = a.mean(axis=1)
+    return a.reshape(-1), rate
+
+
 def read_audio(path_or_bytes):
     """Read any supported audio input by magic bytes; returns
     (float32 mono array in [-1, 1), sample_rate).
 
-    Supported: WAV (all common PCM layouts) and FLAC.  MP3/Ogg inputs —
-    which the reference accepts via its vendored libnyquist — are
-    rejected with a clear message (no codec libraries exist in this
-    environment, and lossy sources are poor encoder inputs anyway)."""
+    Supported: WAV (all common PCM layouts), FLAC, and MP3 (MPEG-1
+    Layer III, via the from-scratch decoder in native/src/mp3.cpp).
+    Ogg inputs — which the reference accepts via its vendored
+    libnyquist — are rejected with a clear message."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         head = bytes(path_or_bytes[:4])
     else:
@@ -157,11 +181,10 @@ def read_audio(path_or_bytes):
         return read_flac(path_or_bytes)
     if head[:4] == b"RIFF":
         return read_wav(path_or_bytes)
-    if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3",
-                                          b"\xff\xf2"):
-        raise ValueError("MP3 input is not supported; convert to WAV or "
-                         "FLAC first")
+    if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xfa",
+                                          b"\xff\xf3", b"\xff\xf2"):
+        return read_mp3(path_or_bytes)
     if head[:4] == b"OggS":
         raise ValueError("Ogg input is not supported; convert to WAV or "
                          "FLAC first")
-    raise ValueError("unrecognized audio format (supported: WAV, FLAC)")
+    raise ValueError("unrecognized audio format (supported: WAV, FLAC, MP3)")

@@ -241,9 +241,17 @@ def test_read_audio_dispatch(tmp_path):
     assert np.allclose(a, x.astype(np.float32) / 32768.0)
 
     m = tmp_path / "t.mp3"
-    m.write_bytes(b"ID3\x04" + b"\x00" * 64)
+    m.write_bytes(b"ID3\x04" + b"\x00" * 64)      # tag but no audio frames
     with pytest.raises(ValueError, match="MP3"):
         audioio.read_audio(str(m))
+    # a valid MP3 decodes through the native decoder (full coverage in
+    # tests/test_mp3.py)
+    from .test_mp3 import _spectrum, encode_frame
+    rng2 = np.random.default_rng(3)
+    m.write_bytes(b"".join(encode_frame([_spectrum(rng2)])
+                           for _ in range(3)))
+    a, rate = audioio.read_audio(str(m))
+    assert rate == 44100 and len(a) == 3 * 1152 and np.abs(a).max() > 0
     o = tmp_path / "t.ogg"
     o.write_bytes(b"OggS" + b"\x00" * 64)
     with pytest.raises(ValueError, match="Ogg"):
