@@ -108,7 +108,8 @@ def _bench_93_family(stream, is_t1, copies, iters):
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                          dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_words(jnp.asarray(pool))
+    wwords = (bd.window_words(jnp.asarray(pool)) if is_t1
+              else bd.window_quads(jnp.asarray(pool)))
     arrays = mod.index_arrays(idx)
 
     # batch: replicate the stream K ways (identical shapes → plain vmap)

@@ -150,6 +150,7 @@ class StreamBank:
         pool += b"\xff" * 8
         pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
         self.pool_words = bd.window_words(jnp.asarray(pool_bytes))
+        self.pool_quads = bd.window_quads(jnp.asarray(pool_bytes))
         self.offsets = offsets
         return self
 
@@ -179,7 +180,7 @@ class StreamBank:
             # kernels chain unconditionally
             if self.has93:
                 arrs = {k: v[r] for k, v in self.idx93.items()}
-                fb = decode93.decode93_frames(self.pool_words, arrs,
+                fb = decode93.decode93_frames(self.pool_quads, arrs,
                                               mix[:, c], fb_prev=fb)
             if self.has93a:
                 arrs = {k: v[r] for k, v in self.idx93a.items()}

@@ -170,13 +170,15 @@ def prescan93(mem, pos=0, prefer_native=True):
     return idx
 
 
-def decode93_frames(pool_words, idx_arrays, mix, fb_prev=None):
+def decode93_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames' bands into frame buffers [F, 512].
 
     idx_arrays: dict of jnp arrays from a Stream93Index (kind, width, n_samp,
     bit_start, out_start, out_inc, scale, prv_in, prv_dl) each [F, 16];
-    pool_words: [L] 24-bit window words; mix: [F].
+    pool_quads: [W, 4] uint32 quad windows (band_decode.window_quads);
+    mix: [F].
     """
+    from . import band_decode as bd
     kind = idx_arrays["kind"]
     width = idx_arrays["width"]
     n_samp = idx_arrays["n_samp"]
@@ -188,7 +190,8 @@ def decode93_frames(pool_words, idx_arrays, mix, fb_prev=None):
     prv_dl = idx_arrays["prv_dl"]
     F = kind.shape[0]
 
-    if fb_prev is None:
+    no_prev = fb_prev is None
+    if no_prev:
         fb_prev = jnp.zeros((F, 512), jnp.int32)
     outbuf1 = fb_prev[:, 1]
 
@@ -197,11 +200,19 @@ def decode93_frames(pool_words, idx_arrays, mix, fb_prev=None):
     w = width[:, :, None]
     live = i16 < n_samp[:, :, None]
 
-    # fixed-width sample extraction: one gather per (band, sample) cell
-    bitpos = bit_start[:, :, None] + i16 * w
-    w24 = pool_words[bitpos >> 3]
+    # fixed-width sample extraction in groups of four: one 128-bit quad-ROW
+    # gather serves four consecutive samples (start offset <= 31 within the
+    # row, +3 widths <= 79, +field <= 95 bits — always in-row), quartering
+    # the gather count vs one scalar gather per sample
     w1 = jnp.maximum(w, 1)
-    raw = (w24 >> (24 - w1 - (bitpos & 7))) & ((1 << w1) - 1)
+    bitpos = bit_start[:, :, None] + i16 * w
+    group_pos = bitpos[:, :, ::4]                               # [F, 16, 4]
+    quad = pool_quads[group_pos >> 5]                           # [F, 16, 4, 4]
+    i4 = jnp.arange(4, dtype=jnp.int32).reshape(1, 1, 1, 4)
+    d = (group_pos & 31)[:, :, :, None] + i4 * w1[:, :, :, None]
+    raw = bd.quad_extract(quad[:, :, :, None, :], d, jnp.broadcast_to(
+        w1[:, :, :, None], d.shape)).reshape(F, 16, 16)
+    raw = raw & ((1 << w1) - 1)
     samp = (raw - ((raw >> (w1 - 1)) << w1)) & M16              # sign-extend
 
     samp = jnp.where(live & (kindx >= K_DATA0) & (kindx <= K_DATA2), samp, 0)
@@ -225,8 +236,12 @@ def decode93_frames(pool_words, idx_arrays, mix, fb_prev=None):
     sc = scale[:, :, None]
     mixv = mix[:, None, None] & M16
     fbi = out_start[:, :, None] + i16 * out_inc[:, :, None]
-    out_old = jnp.take_along_axis(
-        fb_prev, jnp.clip(fbi, 0, 511).reshape(F, 256), axis=1).reshape(F, 16, 16)
+    if no_prev:
+        out_old = jnp.zeros((F, 16, 16), jnp.int32)   # first voice: empty
+    else:
+        out_old = jnp.take_along_axis(
+            fb_prev, jnp.clip(fbi, 0, 511).reshape(F, 256),
+            axis=1).reshape(F, 16, 16)
 
     scaled = (s16(vals) * (sc & M16)) & M16
     prod = ((s16(out_old) << 16) | scaled) + s16(scaled) * mixv

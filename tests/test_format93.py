@@ -250,7 +250,7 @@ def _device_decode93(stream, n_frames):
     vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8, dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_words(jnp.asarray(pool))
+    wwords = bd.window_quads(jnp.asarray(pool))
     arrays = decode93.index_arrays(idx)
 
     def pipe(ww, arrs, mixv, volv):
