@@ -108,8 +108,7 @@ def _bench_93_family(stream, is_t1, copies, iters):
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                          dtype=np.uint8).astype(np.int32)
-    wwords = (bd.window_words(jnp.asarray(pool)) if is_t1
-              else bd.window_quads(jnp.asarray(pool)))
+    wwords = bd.window_quads(jnp.asarray(pool))
     arrays = mod.index_arrays(idx)
 
     # batch: replicate the stream K ways (identical shapes → plain vmap)
@@ -136,7 +135,14 @@ def _bench_93_family(stream, is_t1, copies, iters):
 
 
 def bench_session6(iters):
-    """Six simultaneous voices through the ROM session pipeline."""
+    """A batch of B six-voice sessions through the ROM session pipeline.
+
+    Each session is DISTINCT — staggered track starts and a different
+    master volume — so the device decodes B different control traces
+    against the shared stream bank (the realistic "many cabinets, one
+    chip" serving shape).  The host VM traces all B sessions (setup,
+    untimed); the device runs the whole batch in one dispatch.
+    """
     import numpy as np
     from dcsexplorer_tpu.compiler import romgen as g
     from dcsexplorer_tpu.models import pipeline as pl, romplay
@@ -158,29 +164,44 @@ def bench_session6(iters):
     rs.check()
 
     n_frames = 1000
+    n_sessions = int(os.environ.get("DCS_BENCH_SESSIONS", "32"))
     bank = romplay.build_rom_bank(rs)
-    tracer = pl.ControlTracer()
-    tracer.load_rom_set(rs)
-    tracer.soft_boot()
 
-    def start_all(dec):
+    def trace_one(b):
+        tracer = pl.ControlTracer()
+        tracer.load_rom_set(rs)
+        tracer.soft_boot()
+        events = {}
         for t in range(1, 7):
-            dec.write_data_port(0x00)
-            dec.write_data_port(t)
-    tracer.trace_frames(n_frames, events={0: start_all})
-    rows, mix, vol = pl.assemble_controls(tracer, bank)
+            def start(dec, tt=t):
+                dec.write_data_port(0x00)
+                dec.write_data_port(tt)
+            events.setdefault((b * 7 + t * 3) % 40, []).append(start)
+        vol = 0x40 + (b % 64)
+        events.setdefault(0, []).append(lambda dec: [
+            dec.write_data_port(x)
+            for x in (0x55, 0xAA, vol, vol ^ 0xFF)])
+        tracer.trace_frames(n_frames, events={
+            k: (lambda dec, fns=v: [f(dec) for f in fns])
+            for k, v in events.items()})
+        return pl.assemble_controls(tracer, bank)
 
+    traces = [trace_one(b) for b in range(n_sessions)]
+    import jax
     import jax.numpy as jnp
-    jfn = bank.jitted()
+    rows = jnp.asarray(np.stack([t[0] for t in traces]))
+    mix = jnp.asarray(np.stack([t[1] for t in traces]))
+    vol = jnp.asarray(np.stack([t[2] for t in traces]))
+
+    dd = bank.device_decode
 
     def fn(r, m, v):
-        pcm, _ = jfn(r, m, v)
+        pcm, _ = jax.vmap(lambda a, b_, c: dd(a, b_, c))(r, m, v)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    import jax
     fn = jax.jit(fn)
     dt = _timeit(fn, (rows, mix, vol), iters)
-    return n_frames * 240 / 31250.0 / dt
+    return n_sessions * n_frames * 240 / 31250.0 / dt
 
 
 def main():

@@ -149,7 +149,6 @@ class StreamBank:
         self.has93a = bool(rows93a)
         pool += b"\xff" * 8
         pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
-        self.pool_words = bd.window_words(jnp.asarray(pool_bytes))
         self.pool_quads = bd.window_quads(jnp.asarray(pool_bytes))
         self.offsets = offsets
         return self
@@ -184,7 +183,7 @@ class StreamBank:
                                               mix[:, c], fb_prev=fb)
             if self.has93a:
                 arrs = {k: v[r] for k, v in self.idx93a.items()}
-                fb = decode93a.decode93a_frames(self.pool_words, arrs,
+                fb = decode93a.decode93a_frames(self.pool_quads, arrs,
                                                 mix[:, c], fb_prev=fb)
         raw = tf.transform93_raw(fb, vol_shift)
         return tf.overlap_resolve93(raw, overlap0)

@@ -28,7 +28,13 @@ INPUTS = np.asarray(T.OS93A_INPUTS_PER_BAND, dtype=np.int64)     # [18]
 OUT_BASE = np.concatenate([[0], np.cumsum(2 * INPUTS)])          # [19]
 TOTAL_OUT = int(OUT_BASE[-1])                                    # 250
 MAX_IN = int(INPUTS.max())                                       # 14
+_MAX_IN4 = (MAX_IN + 3) & ~3                                     # 16
 _PAIR = np.asarray(T.OS93A_PAIR_TABLE, dtype=np.int32)
+# the two outputs of each input packed into one word: one table gather
+# instead of two (entry i = pair[2i]<<16 | pair[2i+1], both 16-bit fields)
+_PAIR_PACKED = ((_PAIR[0::2].astype(np.int64) & 0xFFFF) << 16) \
+    | (_PAIR[1::2].astype(np.int64) & 0xFFFF)
+_PAIR_PACKED = _PAIR_PACKED.astype(np.int32)
 
 
 @dataclass
@@ -121,12 +127,14 @@ def index_arrays(idx: Stream93aIndex, bit_base=0):
     }
 
 
-def decode93a_frames(pool_words, idx_arrays, mix, fb_prev=None):
+def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames into frame buffers [F, 512].
 
-    pool_words: [L] 24-bit window words; mix: [F].  All band output spans
-    are static, so the result assembles by slicing — no scatter.
+    pool_quads: [W, 4] uint32 quad windows (band_decode.window_quads);
+    mix: [F].  All band output spans are static, so the result assembles
+    by slicing — no scatter.
     """
+    from . import band_decode as bd
     bits = idx_arrays["bits"]
     bit_start = idx_arrays["bit_start"]
     scale32 = idx_arrays["scale32"]
@@ -138,18 +146,28 @@ def decode93a_frames(pool_words, idx_arrays, mix, fb_prev=None):
     w = bits[:, :, None]
     live = (s_in < jnp.asarray(INPUTS, jnp.int32).reshape(1, N_BANDS, 1)) \
         & (w > 0)
-
-    # fixed-width raw samples: one gather per (band, input) cell
-    bitpos = bit_start[:, :, None] + s_in * w
-    w24 = pool_words[bitpos >> 3]
     w1 = jnp.maximum(w, 1)
-    raw = (w24 >> (24 - w1 - (bitpos & 7))) & ((1 << w1) - 1)   # unsigned
 
-    # each input yields two outputs via the pair table at (2<<bits)+2*raw
-    base = (2 << w1) + 2 * raw
-    pair = jnp.asarray(_PAIR)
-    pair0 = pair[jnp.clip(base, 0, _PAIR.size - 1)]
-    pair1 = pair[jnp.clip(base + 1, 0, _PAIR.size - 1)]
+    # fixed-width samples in groups of four: one 128-bit quad-ROW gather
+    # serves four consecutive samples (start offset <= 31 within the row,
+    # +4 widths <= 95 bits — always in-row), quartering the gather count
+    s_in4 = jnp.arange(_MAX_IN4, dtype=jnp.int32).reshape(1, 1, _MAX_IN4)
+    bitpos4 = bit_start[:, :, None] + s_in4 * w     # [F, 18, 16]
+    group_pos = bitpos4[:, :, ::4]                  # [F, 18, 4]
+    quad = pool_quads[group_pos >> 5]               # [F, 18, 4, 4]
+    i4 = jnp.arange(4, dtype=jnp.int32).reshape(1, 1, 1, 4)
+    d = (group_pos & 31)[:, :, :, None] + i4 * w1[:, :, :, None]
+    raw = bd.quad_extract(quad[:, :, :, None, :], d, jnp.broadcast_to(
+        w1[:, :, :, None], d.shape)).reshape(F, N_BANDS, _MAX_IN4)
+    raw = raw[:, :, :MAX_IN] & ((1 << w1) - 1)      # unsigned
+
+    # each input yields two outputs via the pair table at (2<<bits)+2*raw;
+    # the packed table returns both in one gather
+    half = (1 << w1) + raw
+    packed = jnp.asarray(_PAIR_PACKED)[
+        jnp.clip(half, 0, _PAIR_PACKED.size - 1)]
+    pair0 = packed >> 16                            # s16 applied below
+    pair1 = packed & M16
 
     # effective scale folds the mixing multiplier (reference :2941-2947)
     eff = ((scale32[:, :, None] >> 16) * (mix[:, None, None] & M16)) >> 15

@@ -311,7 +311,7 @@ def _device_decode93a(stream, n_frames):
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                          dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_words(jnp.asarray(pool))
+    wwords = bd.window_quads(jnp.asarray(pool))
     arrays = decode93a.index_arrays(idx)
 
     def pipe(ww, arrs, mixv, volv):
