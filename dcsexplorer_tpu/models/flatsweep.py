@@ -157,19 +157,8 @@ def flat_pipeline(pool_words, start_bit, header, fmt_type, sub_type,
     dense, ctl = decode_flat(pool_words, start_bit, header, fmt_type,
                              sub_type, band_type, band_type_prev, n_steps)
     fb = bd.dequant_mix(dense, ctl, mix)
-    raw = tf.transform94_raw(fb, vol_shift)
-
-    heads = raw[:, tf._OVL_POS]
-    tails = raw[:, tf._SAVE]
-    carried = jnp.concatenate(
-        [jnp.zeros((1, 16), jnp.int32), tails[:-1]], axis=0)
-    carried = jnp.where(stream_start[:, None], 0, carried)
-    from ..ops.fixmath import overlap_mix
-    blended = overlap_mix(heads, carried,
-                          jnp.asarray(tf._OVL_NEW)[None, :],
-                          jnp.asarray(tf._OVL_OLD)[None, :])
-    fixed = raw.at[:, tf._OVL_POS].set(blended)
-    return fixed[:, tf._EXTRACT]
+    re, im = tf.transform94_planar(fb, vol_shift)
+    return tf.overlap_resolve_planar(re, im, stream_start)
 
 
 class FlatSweep:

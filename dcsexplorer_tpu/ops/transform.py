@@ -223,6 +223,132 @@ def transform94_raw(fb, vol_shift):
     return (s16(core) >> vs) & M16
 
 
+# ----------------------------------------------------------------------
+# planar (split re/im) 94 transform — the fast path
+#
+# The interleaved stack/reshape dance in transform94_raw is pure data
+# movement: measured on chip, the six IFFT iterations cost ~19 ms on the
+# bench batch of which ~15 ms is interleaving (the butterfly math alone is
+# ~3 ms).  Storing the complex pairs as two PLANES (re[k] = core[2k],
+# im[k] = core[2k+1]) makes every iteration's u/a split a CONTIGUOUS
+# halving and every write a concatenation: zero lane shuffles in the whole
+# iteration phase.  The only gathers left are the initial descending y-pair
+# gather (which transform94_raw also pays, inside fb[:, _P1_Y]) and the
+# final bit-reversed extraction (which the caller already pays).  Bit-exact
+# with transform94_raw by construction and by test.
+
+_P1_Y0 = _P1_Y[0::2].copy()       # descending even positions 0x100-2i
+_P1_Y1 = _P1_Y[1::2].copy()       # descending odd positions 0x101-2i
+
+# planar composition of the caller-side index maps: every map pairs an even
+# position 2k with 2k+1, so the planar maps address plane index k
+assert np.all(_EXTRACT[0::2] % 2 == 0) and np.all(
+    _EXTRACT[1::2] == _EXTRACT[0::2] + 1)
+assert np.all(_OVL_POS[1::2] == _OVL_POS[0::2] + 1)
+assert np.all(_SAVE[1::2] == _SAVE[0::2] + 1)
+_EXT_HALF = (_EXTRACT[0::2] >> 1).copy()      # [120]
+_OVL_HALF = (_OVL_POS[0::2] >> 1).copy()      # [8]
+_SAVE_HALF = (_SAVE[0::2] >> 1).copy()        # [8]
+assert np.all(_EXT_HALF[:8] == _OVL_HALF)     # outputs 0..15 lead the extract
+
+
+def transform94_planar(fb, vol_shift):
+    """1994+ inverse transform in planar layout; bit-exact with
+    transform94_raw (re[k] = raw[2k], im[k] = raw[2k+1]).
+
+    fb: [B, 512] u16 storage; vol_shift: [B].
+    Returns (re [B, 128], im [B, 128]) volume-normalized time-domain words
+    in bit-reversed storage order.
+    """
+    B = fb.shape[0]
+
+    # center fixups: positions 0x80/0x81 are read only by pre-pass 3
+    fb128 = mulss(fb[:, 0x80], 0x8000)
+    fb129 = mulss((-s16(fb[:, 0x81])) & M16, 0x8000)
+
+    x0 = s16(fb[:, 0:128:2])
+    x1 = s16(fb[:, 1:128:2])
+    y0 = s16(fb[:, _P1_Y0])
+    y1 = s16(fb[:, _P1_Y1])
+
+    # pre-pass 1: fold ends through ±sums, then negate via ×$8000
+    n_x0 = s16(mulss(sat16(x0 + y0), 0x8000))
+    n_y0 = s16(mulss(sat16(x0 - y0), 0x8000))
+    n_x1 = s16(mulss(sat16(x1 - y1), 0x8000))
+    n_y1 = s16(mulss(sat16(x1 + y1), 0x8000))
+
+    # pre-pass 2: complex twiddle fold (planes chain directly — the
+    # interleaved rematerialization between the passes was pure movement)
+    c0 = jnp.asarray(_P2_C0)[None, :]
+    c1 = jnp.asarray(_P2_C1)[None, :]
+    prod0 = _round_sub(n_y1 * s16(c1), n_y0 * s16(c0))
+    prod1 = _round_add(n_y1 * s16(c0), n_y0 * s16(c1))
+    fx0 = s16(sat16(prod1 + n_x0))
+    fx1 = s16(sat16(prod0 + n_x1))
+    fy0 = sat16(n_x0 - prod1)         # descending order, like y0
+    fy1 = sat16(prod0 - n_x1)
+
+    # pre-pass 3: x[q] ± y[128+q].  y[128] / y[129] are the untouched
+    # center fixups; y[130..255] are the y planes read back in ASCENDING
+    # position order (one flip), dropping the dead 0x100/0x101 pair.
+    yA = s16(jnp.concatenate(
+        [fb128[:, None], jnp.flip(fy0, axis=1)[:, :63]], axis=1))
+    yB = s16(jnp.concatenate(
+        [fb129[:, None], jnp.flip(fy1, axis=1)[:, :63]], axis=1))
+    re = jnp.concatenate([sat16(fx0 + yA), sat16(fx0 - yA)], axis=1)
+    im = jnp.concatenate([sat16(fx1 + yB), sat16(fx1 - yB)], axis=1)
+
+    # 6-iteration IFFT: planar groups split/concat CONTIGUOUSLY
+    n_part, part = 2, 0x40
+    for _ in range(6):
+        r = re.reshape(B, n_part, part)
+        i_ = im.reshape(B, n_part, part)
+        h = part // 2
+        u_re, a_re = r[:, :, :h], r[:, :, h:]
+        u_im, a_im = i_[:, :, :h], i_[:, :, h:]
+        c_cos = jnp.asarray(_COS[:n_part]).reshape(1, n_part, 1)
+        c_sin = jnp.asarray(_SIN[:n_part]).reshape(1, n_part, 1)
+        t_re, t_im = rotate_round(a_re, a_im, c_cos, c_sin)
+        ur, ui = s16(u_re), s16(u_im)
+        re = jnp.concatenate([sat16(ur - t_re), sat16(ur + t_re)],
+                             axis=2).reshape(B, 128)
+        im = jnp.concatenate([sat16(ui - t_im), sat16(ui + t_im)],
+                             axis=2).reshape(B, 128)
+        n_part *= 2
+        part //= 2
+
+    vs = vol_shift.reshape(B, 1)
+    return (s16(re) >> vs) & M16, (s16(im) >> vs) & M16
+
+
+def overlap_resolve_planar(re, im, stream_start):
+    """Flat-axis overlap resolve + bit-reversed extraction, planar inputs.
+
+    re/im: [F, 128] planar output of transform94_planar for F flat frames;
+    stream_start: [F] bool (overlap carry resets there).
+    Returns pcm [F, 240] u16 storage — identical to resolving with
+    overlap_resolve on the interleaved raw.
+    """
+    heads_re = re[:, _OVL_HALF]
+    heads_im = im[:, _OVL_HALF]
+    tails_re = re[:, _SAVE_HALF]
+    tails_im = im[:, _SAVE_HALF]
+    z = jnp.zeros((1, 8), jnp.int32)
+    carried_re = jnp.where(stream_start[:, None], 0,
+                           jnp.concatenate([z, tails_re[:-1]], axis=0))
+    carried_im = jnp.where(stream_start[:, None], 0,
+                           jnp.concatenate([z, tails_im[:-1]], axis=0))
+    cn = jnp.asarray(_OVL_NEW)
+    co = jnp.asarray(_OVL_OLD)
+    blended_re = overlap_mix(heads_re, carried_re, cn[None, 0::2],
+                             co[None, 0::2])
+    blended_im = overlap_mix(heads_im, carried_im, cn[None, 1::2],
+                             co[None, 1::2])
+    ext_re = re[:, _EXT_HALF].at[:, :8].set(blended_re)
+    ext_im = im[:, _EXT_HALF].at[:, :8].set(blended_im)
+    return jnp.stack([ext_re, ext_im], axis=-1).reshape(re.shape[0], 240)
+
+
 def overlap_resolve(raw, overlap0):
     """Resolve overlap-add across the frame axis without a scan.
 

@@ -77,3 +77,45 @@ def test_transform94_saturation_edges():
         want_pcm, want_ov = _scalar94(fb[i], ov[i], vs[i])
         assert np.array_equal(pcm[i], want_pcm), f"edge case {i} mismatch"
         assert np.array_equal(new_ov[i], want_ov)
+
+
+def test_transform94_planar_bit_exact():
+    # planar layout must reproduce transform94_raw exactly: re[k] = raw[2k],
+    # im[k] = raw[2k+1], including saturation/rounding edges
+    fb, _, vs = _random_frames(64, seed=31)
+    fb[0, :256] = 0x8000
+    fb[1, :256] = 0x7FFF
+    fb[2, :258] = 0x8000
+    raw = np.asarray(jax.jit(dev.transform94_raw)(
+        jnp.asarray(fb, jnp.int32), jnp.asarray(vs, jnp.int32)))
+    re, im = jax.jit(dev.transform94_planar)(
+        jnp.asarray(fb, jnp.int32), jnp.asarray(vs, jnp.int32))
+    assert np.array_equal(np.asarray(re), raw[:, 0::2])
+    assert np.array_equal(np.asarray(im), raw[:, 1::2])
+
+
+def test_overlap_resolve_planar_matches_flat_composition():
+    # the planar resolve must equal resolving the interleaved raw with the
+    # stream-start-aware flat composition (three streams in one flat axis)
+    F = 30
+    fb, _, vs = _random_frames(F, seed=37)
+    sstart = np.zeros(F, dtype=bool)
+    sstart[[0, 11, 19]] = True
+    raw = jax.jit(dev.transform94_raw)(
+        jnp.asarray(fb, jnp.int32), jnp.asarray(vs, jnp.int32))
+    heads = raw[:, dev._OVL_POS]
+    tails = raw[:, dev._SAVE]
+    carried = jnp.concatenate(
+        [jnp.zeros((1, 16), jnp.int32), tails[:-1]], axis=0)
+    carried = jnp.where(jnp.asarray(sstart)[:, None], 0, carried)
+    from dcsexplorer_tpu.ops.fixmath import overlap_mix
+    blended = overlap_mix(heads, carried,
+                          jnp.asarray(dev._OVL_NEW)[None, :],
+                          jnp.asarray(dev._OVL_OLD)[None, :])
+    want = np.asarray(raw.at[:, dev._OVL_POS].set(blended)[:, dev._EXTRACT])
+
+    re, im = jax.jit(dev.transform94_planar)(
+        jnp.asarray(fb, jnp.int32), jnp.asarray(vs, jnp.int32))
+    got = np.asarray(jax.jit(dev.overlap_resolve_planar)(
+        re, im, jnp.asarray(sstart)))
+    assert np.array_equal(got, want)
