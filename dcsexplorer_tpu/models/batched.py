@@ -33,8 +33,8 @@ def stream_decode(stream_bytes, rel_start, header, fmt_type, sub_type,
                                     fmt_type, sub_type,
                                     band_type, band_type_prev, n_steps=n_steps)
     fb = bd.dequant_mix(dense, ctl, mix)
-    raw = tf.transform94_raw(fb, vol_shift)
-    return tf.overlap_resolve(raw, overlap0)
+    re, im = tf.transform94_planar(fb, vol_shift)
+    return tf.overlap_resolve_planar_state(re, im, overlap0)
 
 
 def batch_decode(stream_bytes, rel_start, headers, fmt_type, sub_type,
@@ -137,8 +137,8 @@ def hybrid_stage_device(dense, scale, fb_idx, valid, mix, vol_shift):
     inverse transform, overlap resolve.  dense/scale/fb_idx/valid: [F, 256];
     mix/vol_shift: [F]."""
     fb = bd.dequant_mix_dense(dense, (scale, fb_idx, valid), mix)
-    raw = tf.transform94_raw(fb, vol_shift)
-    return tf.overlap_resolve(raw, jnp.zeros(16, jnp.int32))[0]
+    re, im = tf.transform94_planar(fb, vol_shift)
+    return tf.overlap_resolve_planar_state(re, im, jnp.zeros(16, jnp.int32))[0]
 
 
 def hybrid_batch_device(dense, scale, fb_idx, valid, mix, vol_shift):

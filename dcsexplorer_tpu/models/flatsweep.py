@@ -89,8 +89,8 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
                 band_type, band_type_prev, n_steps):
     """Symbol-decode N frames against the global byte pool.
 
-    pool_words: [W, 4] precomputed 128-bit quad windows
-    (bd.window_quads); start_bit: [N] global
+    pool_words: [W, nwords] precomputed row windows (bd.window_octs
+    or window_quads; group size follows the width); start_bit: [N] global
     bit offsets; header/band_type/_prev: [N, 16]; fmt/sub: [N].
     Returns (position-ordered values [N, 256], (scale, total)).
     """
@@ -98,14 +98,14 @@ def decode_flat(pool_words, start_bit, header, fmt_type, sub_type,
                             band_type_prev)
     packed, scale, total = bd.slot_controls(ctl)
     N = start_bit.shape[0]
-    K = 5     # symbols per quad-window gather (5 x 17 bits <= 128 - 31)
+    K = bd.symbols_per_row(pool_words)    # row width sets the group size
 
     def group(carry, packed_g):            # packed_g: [K, N]
         cursor, skip = carry
         # ONE row gather per K symbols: the 128-bit quad window at the
         # group-entry cursor covers all K worst-case-width symbols
         base = cursor >> 5
-        quad = pool_words[base]            # [N, 4] uint32
+        quad = pool_words[base]            # [N, nwords] uint32
         d = cursor & 31
         samples = []
         for k in range(K):
@@ -231,7 +231,7 @@ class FlatSweep:
 def run_flat(sweep: FlatSweep):
     """Decode the whole packed catalog; returns int16 PCM [N*240]."""
     args = list(sweep.args())
-    args[0] = bd.window_quads(args[0])
+    args[0] = bd.window_octs(args[0])
     fn = jax.jit(flat_pipeline, static_argnums=(10,))
     pcm = np.asarray(fn(*args))
     return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)

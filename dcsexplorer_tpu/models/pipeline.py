@@ -227,8 +227,8 @@ def device_decode(bank_arrays, rows, mix, vol_shift, overlap0=None):
         fb = bd.dequant_mix(dense_all[r], ctl, mix[:, c], fb_prev=fb,
                             active=active)
 
-    raw = tf.transform94_raw(fb, vol_shift)
-    pcm, last_ov = tf.overlap_resolve(raw, overlap0)
+    re, im = tf.transform94_planar(fb, vol_shift)
+    pcm, last_ov = tf.overlap_resolve_planar_state(re, im, overlap0)
     return pcm, last_ov
 
 

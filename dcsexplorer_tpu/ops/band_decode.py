@@ -90,44 +90,64 @@ def window_words(stream_bytes):
     return (b << 16) | (b1 << 8) | b2
 
 
-def window_quads(stream_bytes):
-    """[L] byte array (int32) → [W, 4] uint32 quad windows, where row j
-    holds the four big-endian 32-bit words covering bytes 4j..4j+15.
+def window_rows(stream_bytes, nwords):
+    """[L] byte array (int32) → [W, nwords] uint32 row windows, where row j
+    holds the nwords big-endian 32-bit words covering bytes 4j..4j+4n-1.
 
-    One ROW gather (measured ~8 ns/row, cheaper than a scalar gather's
-    ~13 ns) yields a 128-bit window — enough for FIVE max-width (17-bit)
-    symbols after worst-case 31-bit alignment — so the scan's window
-    gather runs once per five symbols instead of once per symbol.  The
-    caller pads the byte array with ≥16 trailing bytes.
+    One ROW gather (measured: cost is per ROW, independent of row width up
+    to 8 words) yields a 32·nwords-bit window serving several max-width
+    (17-bit) symbols after worst-case 31-bit alignment — so a scan's
+    window gather runs once per symbols_per_row() symbols instead of once
+    per symbol.  The caller pads the byte array with ≥4·nwords trailing
+    bytes.
     """
     b = jnp.concatenate([stream_bytes.astype(jnp.uint32),
-                         jnp.full(16, 0xFF, jnp.uint32)])
+                         jnp.full(4 * nwords, 0xFF, jnp.uint32)])
     L = b.shape[0]
     W = L // 4
     words = ((b[0:W * 4:4] << 24) | (b[1:W * 4:4] << 16)
              | (b[2:W * 4:4] << 8) | b[3:W * 4:4])
     rows = [words]
-    for k in range(1, 4):
+    for k in range(1, nwords):
         rows.append(jnp.concatenate([words[k:], words[:k]]))
-    return jnp.stack(rows, axis=1)                    # [W, 4] uint32
+    return jnp.stack(rows, axis=1)                    # [W, nwords] uint32
+
+
+def window_quads(stream_bytes):
+    """128-bit (4-word) windows: 5 max-width symbols per row gather."""
+    return window_rows(stream_bytes, 4)
+
+
+def window_octs(stream_bytes):
+    """256-bit (8-word) windows: 13 max-width symbols per row gather.
+
+    Row gathers cost the same as 4-word rows (per-row, not per-byte), so
+    the wider row cuts a serial scan's gather steps 2.6x.
+    """
+    return window_rows(stream_bytes, 8)
+
+
+def symbols_per_row(rows):
+    """Max symbols one row window can serve: (32·nwords - 31) // 17."""
+    return (32 * rows.shape[-1] - 31) // 17
 
 
 def quad_extract(quad, d, mw):
-    """Bits [d, d+mw) of a 128-bit quad window ([..., 4] uint32), as int32.
+    """Bits [d, d+mw) of a row window ([..., nwords] uint32), as int32.
 
-    d up to 99 + mw up to 17 stays inside the row (5 symbols per quad);
+    d + mw must stay inside the row (symbols_per_row symbols per row);
     fields cross at most one word boundary.  All shifts are uint32
     (logical).
     """
     d = jnp.asarray(d).astype(jnp.uint32)
     mw = jnp.asarray(mw).astype(jnp.uint32)
     wi = d >> 5
-    w_lo = jnp.where(wi == 0, quad[..., 0],
-                     jnp.where(wi == 1, quad[..., 1],
-                               jnp.where(wi == 2, quad[..., 2],
-                                         quad[..., 3])))
-    w_hi = jnp.where(wi == 0, quad[..., 1],
-                     jnp.where(wi == 1, quad[..., 2], quad[..., 3]))
+    n = quad.shape[-1]
+    w_lo = quad[..., n - 1]
+    w_hi = quad[..., n - 1]
+    for k in range(n - 2, -1, -1):
+        w_lo = jnp.where(wi == k, quad[..., k], w_lo)
+        w_hi = jnp.where(wi == k, quad[..., k + 1], w_hi)
     s = (d & 31) + mw                     # end offset within w_lo/w_hi pair
     mask = (jnp.uint32(1) << mw) - 1
     # every operand stays uint32 (mixed-signedness promotion would turn the
@@ -318,19 +338,20 @@ def decode_frames94(stream_bytes, start_bit, header, fmt_type, sub_type,
     The per-slot controls stream in as scan xs (sliced, not gathered); a
     "skip" carry bit implements the codebooks' two-zeros-per-codeword case;
     emitted values come out in frame-buffer order, so downstream dequant is
-    elementwise.  The only large gather is the 128-bit quad window —
-    ONE row gather per FIVE symbols (window_quads/quad_extract).
+    elementwise.  The only large gather is the 256-bit row window —
+    ONE row gather per THIRTEEN symbols (window_octs/quad_extract; row
+    gather cost is per row, independent of width).
     """
     ctl = band_controls(header, sub_type, fmt_type, band_type, band_type_prev)
     packed, scale, total = slot_controls(ctl)
     F = start_bit.shape[0]
-    quads = window_quads(stream_bytes)
-    K = 5     # symbols per quad gather (5 x 17 bits <= 128 - 31)
+    quads = window_octs(stream_bytes)
+    K = symbols_per_row(quads)
 
     def group(carry, packed_g):            # packed_g: [K, F]
         cursor, skip = carry
         base = cursor >> 5
-        quad = quads[base]                 # [F, 4] uint32
+        quad = quads[base]                 # [F, nwords] uint32
         d = cursor & 31
         samples = []
         for k in range(K):

@@ -349,6 +349,33 @@ def overlap_resolve_planar(re, im, stream_start):
     return jnp.stack([ext_re, ext_im], axis=-1).reshape(re.shape[0], 240)
 
 
+def overlap_resolve_planar_state(re, im, overlap0):
+    """Planar counterpart of overlap_resolve: carried overlap0 in, final
+    overlap out (both in the interleaved 16-slot order of the state
+    contract, so snapshots stay interchangeable).
+
+    re/im: [F, 128] planar transform output for F consecutive frames of ONE
+    stream; overlap0: [16].  Returns (pcm [F, 240], final overlap [16]).
+    """
+    heads_re = re[:, _OVL_HALF]
+    heads_im = im[:, _OVL_HALF]
+    tails_re = re[:, _SAVE_HALF]
+    tails_im = im[:, _SAVE_HALF]
+    carried_re = jnp.concatenate([overlap0[None, 0::2], tails_re[:-1]], axis=0)
+    carried_im = jnp.concatenate([overlap0[None, 1::2], tails_im[:-1]], axis=0)
+    cn = jnp.asarray(_OVL_NEW)
+    co = jnp.asarray(_OVL_OLD)
+    blended_re = overlap_mix(heads_re, carried_re, cn[None, 0::2],
+                             co[None, 0::2])
+    blended_im = overlap_mix(heads_im, carried_im, cn[None, 1::2],
+                             co[None, 1::2])
+    ext_re = re[:, _EXT_HALF].at[:, :8].set(blended_re)
+    ext_im = im[:, _EXT_HALF].at[:, :8].set(blended_im)
+    pcm = jnp.stack([ext_re, ext_im], axis=-1).reshape(re.shape[0], 240)
+    last_ov = jnp.stack([tails_re[-1], tails_im[-1]], axis=-1).reshape(16)
+    return pcm, last_ov
+
+
 def overlap_resolve(raw, overlap0):
     """Resolve overlap-add across the frame axis without a scan.
 
@@ -454,58 +481,85 @@ _E93_I3 = 0x1FE - 2 * np.arange(64)
 _BR93 = _BR[:256]
 
 
+# the 93 extraction only touches EVEN storage positions (bit 8 of the
+# bit-reversed index is 0 for i < 256), i.e. the re plane
+assert np.all(_BR93_SRC % 2 == 0)
+_BR93_HALF = (_BR93_SRC >> 1).copy()
+
+
 def transform93_raw(fb, vol_shift):
     """1993 inverse transform, batched; returns per-frame time words.
 
     fb: [B, 512] u16 storage; vol_shift: [B].
     Returns raw [B, 256]: time samples in natural order — outputs 0..239
     then the 16-sample overlap tail (pre-blend), volume-shifted.
-    """
-    from .fixmath import s16 as _s16
 
+    Internally planar (re[k] = fb[2k], im[k] = fb[2k+1]) like
+    transform94_planar: the expansion pass and all seven IFFT iterations
+    run on contiguous plane slices with zero interleave shuffles; the final
+    bit-reversed collection reads only the re plane (asserted above), so
+    the output gather is unchanged.  Bit-exact with the interleaved
+    formulation (tests/test_transform_ops.py, tests/test_format93.py).
+    """
     B = fb.shape[0]
 
     ar = _taylor_sqrt93(fb[:, 0], fb[:, 1])
-    fb = fb.at[:, 0x0000].set(ar).at[:, 0x0100].set(ar)
-    fb = fb.at[:, 0x0001].set(0).at[:, 0x0101].set(0)
 
-    # expand 256 → 512
-    xr, xi = s16(fb[:, _E93_I0]), s16(fb[:, _E93_I0 + 1])
-    yr, yi = s16(fb[:, _E93_I1]), s16(fb[:, _E93_I1 + 1])
-    fb = fb.at[:, _E93_I0].set((xr + yr) & M16)
-    fb = fb.at[:, _E93_I1].set((xr + yr) & M16)
-    fb = fb.at[:, _E93_I2].set((xr - yr) & M16)
-    fb = fb.at[:, _E93_I3].set((yr - xr) & M16)
-    fb = fb.at[:, _E93_I2 + 1].set((xi + yi) & M16)
-    fb = fb.at[:, _E93_I3 + 1].set((xi + yi) & M16)
-    fb = fb.at[:, _E93_I0 + 1].set((xi - yi) & M16)
-    fb = fb.at[:, _E93_I1 + 1].set((yi - xi) & M16)
+    # planar view; apply the center fixups in-plane
+    re0 = fb[:, 0::2]
+    im0 = fb[:, 1::2]
 
-    # 7-iteration IFFT over 512 entries, unsaturated wrap arithmetic
-    core = fb
+    # expand 256 → 512.  Reads (pre-fixup planes + fixed slots):
+    #   xr = fb[2+2i]   = re[1+i],  i = 0..63
+    #   xi = fb[3+2i]   = im[1+i]
+    #   yr = fb[0xFE-2i] = re[127-i]   (flip of re[64:128])
+    #   yi = fb[0xFF-2i] = im[127-i]
+    xr = s16(re0[:, 1:65])
+    xi = s16(im0[:, 1:65])
+    yr = s16(jnp.flip(re0[:, 64:128], axis=1))
+    yi = s16(jnp.flip(im0[:, 64:128], axis=1))
+
+    add_r = (xr + yr) & M16
+    sub_r = (xr - yr) & M16
+    bus_r = (yr - xr) & M16
+    add_i = (xi + yi) & M16
+    sub_i = (xi - yi) & M16
+    bus_i = (yi - xi) & M16
+
+    # writes, replicating the reference's overlap order (the later write
+    # wins at the two collision slots: re idx 192 takes yr-xr, im idx 64
+    # takes yi-xi):
+    arc = ar[:, None]
+    z1 = jnp.zeros((B, 1), jnp.int32)
+    re = jnp.concatenate(
+        [arc, add_r, jnp.flip(add_r, axis=1)[:, 1:],            # 0, 1..127
+         arc, sub_r[:, :63], jnp.flip(bus_r, axis=1)], axis=1)  # 128..255
+    im = jnp.concatenate(
+        [z1, sub_i[:, :63], jnp.flip(bus_i, axis=1),            # 0, 1..127
+         z1, add_i, jnp.flip(add_i, axis=1)[:, 1:]], axis=1)    # 128..255
+
+    # 7-iteration IFFT (planar, unsaturated wrap arithmetic)
     n_part, part = 2, 0x80
     for _ in range(7):
-        v = core.reshape(B, n_part, 2, part)
-        u, a = v[:, :, 0, :], v[:, :, 1, :]
-        ap = a.reshape(B, n_part, part // 2, 2)
-        a_re, a_im = ap[..., 0], ap[..., 1]
+        r = re.reshape(B, n_part, part)
+        i_ = im.reshape(B, n_part, part)
+        h = part // 2
+        u_re, a_re = r[:, :, :h], r[:, :, h:]
+        u_im, a_im = i_[:, :, :h], i_[:, :, h:]
         c_cos = jnp.asarray(_COS[:n_part]).reshape(1, n_part, 1)
         c_sin = jnp.asarray(_SIN[:n_part]).reshape(1, n_part, 1)
         t_re, t_im = rotate_round(a_re, a_im, c_cos, c_sin)
-        up = u.reshape(B, n_part, part // 2, 2)
-        u_re, u_im = s16(up[..., 0]), s16(up[..., 1])
-        nu = jnp.stack([(u_re - t_re) & M16, (u_im - t_im) & M16], axis=-1)
-        na = jnp.stack([(t_re + u_re) & M16, (t_im + u_im) & M16], axis=-1)
-        core = jnp.stack([nu.reshape(B, n_part, part),
-                          na.reshape(B, n_part, part)], axis=2
-                         ).reshape(B, 512)
+        ur, ui = s16(u_re), s16(u_im)
+        re = jnp.concatenate([(ur - t_re) & M16, (ur + t_re) & M16],
+                             axis=2).reshape(B, 256)
+        im = jnp.concatenate([(ui - t_im) & M16, (ui + t_im) & M16],
+                             axis=2).reshape(B, 256)
         n_part *= 2
         part //= 2
 
     # volume shift + bit-reversed collection in natural time order
     vs = vol_shift.reshape(B, 1)
-    time_nat = (s16(core[:, _BR93]) >> vs) & M16   # [B, 256] time order
-    return time_nat
+    return (s16(re[:, _BR93_HALF]) >> vs) & M16
 
 
 def overlap_resolve93(raw, overlap0):
