@@ -28,7 +28,7 @@ def get_lib():
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
     srcs = [os.path.join(src_dir, f)
             for f in ("dcs_native.cpp", "flac.cpp", "mp3.cpp",
-                      "adsp2105.cpp")]
+                      "vorbis.cpp", "adsp2105.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -63,6 +63,14 @@ def get_lib():
     lib.mp3_info.argtypes = [C.c_char_p, C.c_int64, C.c_void_p]
     lib.mp3_decode.restype = C.c_int64
     lib.mp3_decode.argtypes = [C.c_char_p, C.c_int64, C.c_void_p, C.c_int64]
+    lib.vorbis_probe.restype = C.c_int
+    lib.vorbis_probe.argtypes = [C.c_char_p, C.c_int64, C.c_void_p]
+    lib.vorbis_decode.restype = C.c_int64
+    lib.vorbis_decode.argtypes = [C.c_char_p, C.c_int64, C.c_void_p,
+                                  C.c_int64]
+    lib.vorbis_imdct_selftest.restype = C.c_double
+    lib.vorbis_imdct_selftest.argtypes = [C.c_int, C.c_void_p, C.c_void_p,
+                                          C.c_void_p]
     _lib = lib
     return _lib
 
@@ -256,3 +264,29 @@ def mp3_decode(data):
     if n < 0:
         raise ValueError(f"malformed MP3 file (error {n})")
     return out[:n].reshape(-1, nch), rate
+
+
+def vorbis_decode(data):
+    """Decode an Ogg Vorbis file with the from-scratch native decoder
+    (native/src/vorbis.cpp).
+
+    Returns (samples [N, channels] float32, rate) or None if the native
+    library is unavailable.  Raises ValueError on malformed input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = bytes(data)
+    meta = np.zeros(4, dtype=np.int32)
+    rc = lib.vorbis_probe(buf, len(buf), meta.ctypes.data_as(C.c_void_p))
+    if rc != 0:
+        raise ValueError("malformed Ogg Vorbis file")
+    rate, nch = int(meta[0]), int(meta[1])
+    total = lib.vorbis_decode(buf, len(buf), None, 0)
+    if total < 0:
+        raise ValueError("malformed Ogg Vorbis file")
+    out = np.zeros(int(total) * nch, dtype=np.float32)
+    n = lib.vorbis_decode(buf, len(buf), out.ctypes.data_as(C.c_void_p),
+                          total)
+    if n < 0:
+        raise ValueError("malformed Ogg Vorbis file")
+    return out[:int(n) * nch].reshape(-1, nch), rate

@@ -164,14 +164,38 @@ def read_mp3(path_or_bytes):
     return a.reshape(-1), rate
 
 
+def read_ogg(path_or_bytes):
+    """Read an Ogg Vorbis file via the from-scratch native decoder
+    (native/src/vorbis.cpp); returns (float32 mono array in [-1, 1),
+    sample_rate).
+
+    Counterpart of the reference's libnyquist/libvorbis input path
+    (DCSEncoder/DCSEncodeFile.cpp:55-59)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    from .. import native
+    res = native.vorbis_decode(data)
+    if res is None:
+        raise ValueError("Ogg input requires the native runtime "
+                         "(no C++ compiler available)")
+    samples, rate = res
+    a = samples.astype(np.float32)
+    if a.shape[1] > 1:
+        a = a.mean(axis=1)
+    return a.reshape(-1), rate
+
+
 def read_audio(path_or_bytes):
     """Read any supported audio input by magic bytes; returns
     (float32 mono array in [-1, 1), sample_rate).
 
-    Supported: WAV (all common PCM layouts), FLAC, and MP3 (MPEG-1
-    Layer III, via the from-scratch decoder in native/src/mp3.cpp).
-    Ogg inputs — which the reference accepts via its vendored
-    libnyquist — are rejected with a clear message."""
+    Supported: WAV (all common PCM layouts), FLAC, MP3 (MPEG-1
+    Layer III, native/src/mp3.cpp), and Ogg Vorbis
+    (native/src/vorbis.cpp) — full parity with the reference's
+    libnyquist input set."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         head = bytes(path_or_bytes[:4])
     else:
@@ -185,6 +209,6 @@ def read_audio(path_or_bytes):
                                           b"\xff\xf3", b"\xff\xf2"):
         return read_mp3(path_or_bytes)
     if head[:4] == b"OggS":
-        raise ValueError("Ogg input is not supported; convert to WAV or "
-                         "FLAC first")
-    raise ValueError("unrecognized audio format (supported: WAV, FLAC, MP3)")
+        return read_ogg(path_or_bytes)
+    raise ValueError(
+        "unrecognized audio format (supported: WAV, FLAC, MP3, Ogg)")
