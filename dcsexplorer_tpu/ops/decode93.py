@@ -203,7 +203,10 @@ def decode93_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     # fixed-width sample extraction in groups of four: one 128-bit quad-ROW
     # gather serves four consecutive samples (start offset <= 31 within the
     # row, +3 widths <= 79, +field <= 95 bits — always in-row), quartering
-    # the gather count vs one scalar gather per sample
+    # the gather count vs one scalar gather per sample.  (Groups of eight
+    # over 256-bit rows were measured SLOWER here: unlike the serial scan,
+    # these gathers run fully parallel and pay per element, so the wider
+    # row doubles the fetched bytes for nothing.)
     w1 = jnp.maximum(w, 1)
     bitpos = bit_start[:, :, None] + i16 * w
     group_pos = bitpos[:, :, ::4]                               # [F, 16, 4]

@@ -28,7 +28,6 @@ INPUTS = np.asarray(T.OS93A_INPUTS_PER_BAND, dtype=np.int64)     # [18]
 OUT_BASE = np.concatenate([[0], np.cumsum(2 * INPUTS)])          # [19]
 TOTAL_OUT = int(OUT_BASE[-1])                                    # 250
 MAX_IN = int(INPUTS.max())                                       # 14
-_MAX_IN4 = (MAX_IN + 3) & ~3                                     # 16
 _PAIR = np.asarray(T.OS93A_PAIR_TABLE, dtype=np.int32)
 # the two outputs of each input packed into one word: one table gather
 # instead of two (entry i = pair[2i]<<16 | pair[2i+1], both 16-bit fields)
@@ -148,18 +147,15 @@ def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
         & (w > 0)
     w1 = jnp.maximum(w, 1)
 
-    # fixed-width samples in groups of four: one 128-bit quad-ROW gather
-    # serves four consecutive samples (start offset <= 31 within the row,
-    # +4 widths <= 95 bits — always in-row), quartering the gather count
-    s_in4 = jnp.arange(_MAX_IN4, dtype=jnp.int32).reshape(1, 1, _MAX_IN4)
-    bitpos4 = bit_start[:, :, None] + s_in4 * w     # [F, 18, 16]
-    group_pos = bitpos4[:, :, ::4]                  # [F, 18, 4]
-    quad = pool_quads[group_pos >> 5]               # [F, 18, 4, 4]
-    i4 = jnp.arange(4, dtype=jnp.int32).reshape(1, 1, 1, 4)
-    d = (group_pos & 31)[:, :, :, None] + i4 * w1[:, :, :, None]
-    raw = bd.quad_extract(quad[:, :, :, None, :], d, jnp.broadcast_to(
-        w1[:, :, :, None], d.shape)).reshape(F, N_BANDS, _MAX_IN4)
-    raw = raw[:, :, :MAX_IN] & ((1 << w1) - 1)      # unsigned
+    # fixed-width samples: ONE 128-bit quad-ROW gather per band serves all
+    # fourteen inputs (93a widths are <= 6 bits via the pair table, so
+    # start offset 31 + 14*6 = 115 bits stays in-row) — one gather per
+    # band instead of one per sample
+    quad = pool_quads[bit_start >> 5]               # [F, 18, 4]
+    d = (bit_start & 31)[:, :, None] + s_in * w1    # [F, 18, 14]
+    raw = bd.quad_extract(quad[:, :, None, :], d, jnp.broadcast_to(
+        w1, d.shape))
+    raw = raw & ((1 << w1) - 1)                     # unsigned
 
     # each input yields two outputs via the pair table at (2<<bits)+2*raw;
     # the packed table returns both in one gather
