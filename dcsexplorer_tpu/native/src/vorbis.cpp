@@ -13,6 +13,7 @@
 // Scope notes: floor type 0 (LSP; emitted by no known encoder for years)
 // is parsed but rejected with a clear error at decode time.
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -304,9 +305,19 @@ struct Floor1 {
     std::vector<int> X;                            // posts
 };
 
+struct Floor0 {
+    int order = 0;
+    long rate = 0;
+    int bark_map_size = 0;
+    int amplitude_bits = 0;
+    int amplitude_offset = 0;
+    std::vector<int> books;
+};
+
 struct FloorCfg {
     int type = 1;
     Floor1 f1;
+    Floor0 f0;
 };
 
 struct Residue {
@@ -396,15 +407,17 @@ static bool read_setup(BitReader& br, Setup& s) {
         if (type == 1) {
             if (!read_floor1(br, s.floors[i].f1)) return false;
         } else if (type == 0) {
-            // parse past the floor0 config (spec sect. 6.2) so the rest of
-            // the setup stays aligned; decode rejects it with a clear error
-            br.read(8);                    // order
-            br.read(16);                   // rate
-            br.read(16);                   // bark_map_size
-            br.read(6);                    // amplitude_bits
-            br.read(8);                    // amplitude_offset
+            Floor0& f = s.floors[i].f0;      // spec sect. 6.2 (LSP floor)
+            f.order = (int)br.read(8);
+            f.rate = (long)br.read(16);
+            f.bark_map_size = (int)br.read(16);
+            f.amplitude_bits = (int)br.read(6);
+            f.amplitude_offset = (int)br.read(8);
             int nbo = (int)br.read(4) + 1;
-            for (int k = 0; k < nbo; k++) br.read(8);
+            f.books.resize(nbo);
+            for (int k = 0; k < nbo; k++) f.books[k] = (int)br.read(8);
+            if (f.order <= 0 || f.rate <= 0 || f.bark_map_size <= 0)
+                return false;
         } else {
             return false;
         }
@@ -483,7 +496,15 @@ static bool read_setup(BitReader& br, Setup& s) {
     // cross-validate every index a malformed stream could aim out of
     // bounds: codebook references, submap floor/residue numbers
     for (const FloorCfg& fc : s.floors) {
-        if (fc.type != 1) continue;
+        if (fc.type == 0) {
+            for (int b : fc.f0.books) {
+                if (b < 0 || b >= nbooks) return false;
+                if (s.books[b].lookup_type == 0 || s.books[b].dims <= 0)
+                    return false;
+            }
+            if (fc.f0.books.empty()) return false;
+            continue;
+        }
         const Floor1& f = fc.f1;
         for (size_t c = 0; c < f.class_dims.size(); c++) {
             if (f.class_subs[c]
@@ -559,6 +580,76 @@ static void render_line(int x0, int y0, int x1, int y1, float* d, int n) {
         int yc = y < 0 ? 0 : (y > 255 ? 255 : y);
         d[x] *= kFloor1FromDb[yc];
     }
+}
+
+// ---------------------------------------------------------------------
+// Floor 0 (LSP floor, spec sect. 6).  Decode reads an amplitude and LSP
+// coefficients through a VQ codebook; synthesis evaluates the LSP filter
+// response on a bark-scale map.  Behavior-matched to the reference
+// (floor0.c/lsp.c float path); implemented from the spec formulas.
+
+static double to_bark(double n) {
+    return 13.1 * atan(0.00074 * n) + 2.24 * atan(n * n * 1.85e-8)
+        + 1e-4 * n;
+}
+
+// returns false for "unused channel"; err set on end-of-packet
+static bool floor0_decode(BitReader& br, const Setup& s, const Floor0& f,
+                          const std::vector<int>& map, int n2, float* curve,
+                          bool& err) {
+    int ampraw = (int)br.read(f.amplitude_bits);
+    if (br.eop) { err = true; return false; }
+    if (ampraw <= 0) return false;
+    long maxval = (1L << f.amplitude_bits) - 1;
+    double amp = (double)ampraw / maxval * f.amplitude_offset;
+    int booknum = (int)br.read(ilog((uint32_t)f.books.size()));
+    if (booknum >= (int)f.books.size()) return false;   // paranoia (ref)
+    const Codebook& b = s.books[f.books[booknum]];
+
+    std::vector<double> lsp((size_t)f.order + b.dims + 1, 0.0);
+    for (int j = 0; j < f.order; j += b.dims) {
+        int e = b.decode(br);
+        if (e < 0) { err = true; return false; }
+        for (int k = 0; k < b.dims; k++)
+            lsp[(size_t)j + k] = b.vq[(size_t)e * b.dims + k];
+    }
+    double last = 0.0;
+    for (int j = 0; j < f.order;) {
+        for (int k = 0; k < b.dims && j < f.order; k++, j++)
+            lsp[j] += last;
+        last = lsp[j - 1];
+    }
+
+    // LSP -> spectral envelope (cos domain, pairwise products)
+    int m = f.order;
+    std::vector<double> lc(m);
+    for (int j = 0; j < m; j++) lc[j] = 2.0 * cos(lsp[j]);
+    double wdel = M_PI / f.bark_map_size;
+    int i = 0;
+    while (i < n2) {
+        int k = map[i];
+        double p = 0.5, q = 0.5;
+        double w = 2.0 * cos(wdel * k);
+        int j;
+        for (j = 1; j < m; j += 2) {
+            q *= w - lc[j - 1];
+            p *= w - lc[j];
+        }
+        if (j == m) {          // odd order
+            q *= w - lc[j - 1];
+            p *= p * (4.0 - w * w);
+            q *= q;
+        } else {               // even order
+            p *= p * (2.0 - w);
+            q *= q * (2.0 + w);
+        }
+        double den = sqrt(p + q);
+        double v = exp((amp / (den > 0 ? den : 1e-30)
+                        - f.amplitude_offset) * 0.11512925);
+        curve[i] = (float)v;
+        while (++i < n2 && map[i] == k) curve[i] = (float)v;
+    }
+    return true;
 }
 
 // returns false for "unused channel" (zero floor)
@@ -882,6 +973,26 @@ struct Decoder {
 
     const char* error = nullptr;
 
+    // cached floor0 bark-scale maps, keyed by (floor index, blockflag)
+    std::vector<std::array<std::vector<int>, 2>> f0_maps;
+
+    const std::vector<int>& f0_map(int fi, int bf, int n2) {
+        if (f0_maps.empty()) f0_maps.resize(s.floors.size());
+        std::vector<int>& m = f0_maps[fi][bf];
+        if (m.empty()) {
+            const Floor0& f = s.floors[fi].f0;
+            double scale = f.bark_map_size / to_bark(f.rate / 2.0);
+            m.resize(n2);
+            for (int j = 0; j < n2; j++) {
+                int val = (int)floor(
+                    to_bark((f.rate / 2.0) / n2 * j) * scale);
+                if (val >= f.bark_map_size) val = f.bark_map_size - 1;
+                m[j] = val;
+            }
+        }
+        return m;
+    }
+
     // window slope value: sin(pi/2 * sin^2(pi/n (i+.5)))
     static float slope(int i, int n) {
         double x = sin(M_PI / n * (i + 0.5));
@@ -961,11 +1072,17 @@ struct Decoder {
             ch, std::vector<float>((size_t)n2));
         std::vector<bool> nonzero(ch, false);
         for (int c = 0; c < ch; c++) {
-            const FloorCfg& fc = s.floors[map.submap_floor[map.mux[c]]];
-            if (fc.type != 1) { error = "floor type 0 stream"; return false; }
+            int fi = map.submap_floor[map.mux[c]];
+            const FloorCfg& fc = s.floors[fi];
             bool err = false;
-            nonzero[c] = floor1_decode(br, s, fc.f1, n2, floors[c].data(),
-                                       err);
+            if (fc.type == 1) {
+                nonzero[c] = floor1_decode(br, s, fc.f1, n2,
+                                           floors[c].data(), err);
+            } else {
+                nonzero[c] = floor0_decode(br, s, fc.f0,
+                                           f0_map(fi, bf, n2),
+                                           n2, floors[c].data(), err);
+            }
             if (err) {
                 // end-of-packet during floor: whole frame is silence
                 for (int k = 0; k < ch; k++) nonzero[k] = false;

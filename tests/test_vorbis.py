@@ -392,3 +392,241 @@ def test_vorbis_malformed_inputs():
             native.vorbis_decode(b"OggS" + junk)
         except ValueError:
             pass
+
+
+# ----------------------------------------------------------------------
+# floor type 0 (LSP): no modern encoder emits it, so the test hand-builds
+# a spec-valid floor0 stream and validates our decode against the
+# reference decoder (which still supports floor0)
+
+class _LsbWriter:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, n):
+        for i in range(n):
+            self.bits.append((int(value) >> i) & 1)
+
+    def bytes(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _ogg_crc(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if (crc & 0x80000000) \
+                else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(packets, serial, seq, granule, flags):
+    lacing = []
+    body = b""
+    for i, p in enumerate(packets):
+        body += p
+        n = len(p)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+    import struct
+    hdr = (b"OggS" + bytes([0, flags]) + struct.pack("<q", granule)
+           + struct.pack("<I", serial) + struct.pack("<I", seq)
+           + b"\x00\x00\x00\x00" + bytes([len(lacing)]) + bytes(lacing))
+    crc = _ogg_crc(hdr + body)
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return hdr + body
+
+
+def _build_floor0_stream(n_packets=24, seed=3):
+    """A complete spec-valid mono Vorbis stream using floor type 0."""
+    rng = np.random.default_rng(seed)
+    rate, bs = 8000, 256
+    n2 = bs // 2
+
+    ident = b"\x01vorbis" + b"\x00" * 4 + bytes([1]) + \
+        (rate).to_bytes(4, "little") + b"\x00" * 12 + bytes([0x88, 0x01])
+    comment = b"\x03vorbis" + b"\x00" * 8 + b"\x01"
+
+    w = _LsbWriter()
+    for ch in b"\x05vorbis":
+        w.w(ch, 8)
+    # --- codebooks (3) ---
+    w.w(2, 8)                                # count - 1
+    # book0: floor0 coefficients. dims=2, entries=16, len 4, lookup 1
+    w.w(0x564342, 24)
+    w.w(2, 16)
+    w.w(16, 24)
+    w.w(0, 1)                                # unordered
+    w.w(0, 1)                                # not sparse
+    for _ in range(16):
+        w.w(3, 5)                            # length-1 = 3 → 4 bits
+    w.w(1, 4)                                # lookup type 1
+    # float32: 0.11 min, 0.17 delta — packed vorbis floats
+
+    def vf(x):
+        import math
+        s = 0
+        if x < 0:
+            s = 1
+            x = -x
+        if x == 0:
+            return 0
+        e = math.floor(math.log2(x)) - 20
+        m = int(round(x / (2.0 ** e)))
+        while m >= (1 << 21):
+            m >>= 1
+            e += 1
+        return (s << 31) | ((e + 788) << 21) | m
+    w.w(vf(0.11), 32)                        # minimum
+    w.w(vf(0.17), 32)                        # delta
+    w.w(1, 4)                                # value_bits - 1 → 2 bits
+    w.w(0, 1)                                # no sequence_p
+    for mult in (0, 1, 2, 3):                # lookup_values = 4 (4^2 <= 16)
+        w.w(mult, 2)
+    # book1: residue classbook. dims=2, entries=4, len 2, lookup 0
+    w.w(0x564342, 24)
+    w.w(2, 16)
+    w.w(4, 24)
+    w.w(0, 1)
+    w.w(0, 1)
+    for _ in range(4):
+        w.w(1, 5)                            # length 2
+    w.w(0, 4)
+    # book2: residue values. dims=2, entries=8, len 3, lookup 1
+    w.w(0x564342, 24)
+    w.w(2, 16)
+    w.w(8, 24)
+    w.w(0, 1)
+    w.w(0, 1)
+    for _ in range(8):
+        w.w(2, 5)                            # length 3
+    w.w(1, 4)
+    w.w(vf(-0.35), 32)
+    w.w(vf(0.25), 32)
+    w.w(1, 4)                                # 2 bits per multiplicand
+    w.w(0, 1)
+    for mult in (0, 1, 2):                   # lookup_values = 2... needs 2
+        pass
+    # lookup_values for entries=8, dims=2 → largest v with v^2<=8 = 2
+    for mult in (0, 2):
+        w.w(mult, 2)
+    # --- times ---
+    w.w(0, 6)
+    w.w(0, 16)
+    # --- floors: one, type 0 ---
+    w.w(0, 6)
+    w.w(0, 16)                               # floor type 0
+    w.w(4, 8)                                # order
+    w.w(rate, 16)
+    w.w(64, 16)                              # bark_map_size
+    w.w(6, 6)                                # amplitude bits
+    w.w(140, 8)                              # amplitude offset (dB)
+    w.w(0, 4)                                # num books - 1
+    w.w(0, 8)                                # book 0
+    # --- residues: one, type 0 ---
+    w.w(0, 6)
+    w.w(0, 16)
+    w.w(0, 24)                               # begin
+    w.w(n2, 24)                              # end
+    w.w(15, 24)                              # partition size - 1 → 16
+    w.w(1, 6)                                # classifications - 1 → 2
+    w.w(1, 8)                                # classbook = book1
+    for _ in range(2):                       # per class cascade: pass 0
+        w.w(1, 3)
+        w.w(0, 1)
+    for _ in range(2):                       # per class, per set bit: book
+        w.w(2, 8)
+    # --- mappings: one, type 0 ---
+    w.w(0, 6)
+    w.w(0, 16)
+    w.w(0, 1)                                # 1 submap
+    w.w(0, 1)                                # no coupling
+    w.w(0, 2)                                # reserved
+    w.w(0, 8)                                # time
+    w.w(0, 8)                                # floor
+    w.w(0, 8)                                # residue
+    # --- modes: one ---
+    w.w(0, 6)
+    w.w(0, 1)                                # blockflag 0
+    w.w(0, 16)
+    w.w(0, 16)
+    w.w(0, 8)
+    w.w(1, 1)                                # framing
+    setup = w.bytes()
+
+    # pre-screen coefficient codeword pairs: the LSP envelope peaks at
+    # amp/sqrt(p+q), and codewords whose roots sit on bark-grid points
+    # overflow exp() into inf (NaN after the residue product) — real
+    # encoders guarantee boundedness via LPC, so the generator must too
+    # lookup type 1: dim 0 multiplicand index = e % 4, dim 1 = (e//4) % 4
+    vq = np.array([[0.11 + 0.17 * (e % 4), 0.11 + 0.17 * ((e // 4) % 4)]
+                   for e in range(16)])
+    amp_hi = 1 / 63.0 * 140.0
+    w_grid = 2.0 * np.cos(np.pi * np.arange(64) / 64.0)
+    allowed = []
+    for e0 in range(16):
+        for e1 in range(16):
+            c = [vq[e0][0], vq[e0][1]]
+            last = c[1]
+            c += [vq[e1][0] + last, vq[e1][1] + last]
+            lc = 2.0 * np.cos(np.array(c))
+            q = 0.5 * (w_grid - lc[0]) * (w_grid - lc[2])
+            p = 0.5 * (w_grid - lc[1]) * (w_grid - lc[3])
+            pq = (p * p * (2.0 - w_grid)) + (q * q * (2.0 + w_grid))
+            peak = amp_hi / np.sqrt(max(float(pq.min()), 1e-30)) - 140.0
+            if peak * 0.11512925 < 5.0:      # envelope peak stays < ~150
+                allowed.append((e0, e1))
+    assert allowed, "no bounded coefficient pairs (adjust book)"
+
+    packets = []
+    for _ in range(n_packets):
+        a = _LsbWriter()
+        a.w(0, 1)                            # audio packet
+        # mode bits: ilog(0) = 0 → none; blockflag 0 → no window flags
+        a.w(1, 6)                            # floor0 amplitude (nonzero)
+        a.w(0, 1)                            # book number (1 book → 1 bit)
+        e0, e1 = allowed[int(rng.integers(0, len(allowed)))]
+        for e in (e0, e1):                   # order 4 / dims 2 = 2 words
+            # all codewords are 4 bits, so entry i's canonical codeword is
+            # i MSB-first; the packer emits LSB-first -> bit-reverse
+            a.w(int(f"{e:04b}"[::-1], 2), 4)
+        # residue: 8 partitions, classwords=2 → alternate classification
+        # words and 2 partitions each
+        for _ in range(4):
+            a.w(int(rng.integers(0, 4)), 2)  # classbook codeword
+            for _ in range(2):               # 2 partitions
+                for _ in range(8):           # step = 16/2 = 8 codewords
+                    a.w(int(rng.integers(0, 8)), 3)
+        packets.append(a.bytes())
+
+    serial = 0x1234
+    pages = [_ogg_page([ident], serial, 0, 0, 0x02),
+             _ogg_page([comment, setup], serial, 1, 0, 0x00)]
+    granule = (n_packets - 1) * (bs // 2)
+    pages.append(_ogg_page(packets, serial, 2, granule, 0x04))
+    return b"".join(pages), granule
+
+
+def test_vorbis_floor0_matches_reference():
+    """Hand-built floor0 stream: our decode == vorbisfile's decode."""
+    if native.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    ogg, granule = _build_floor0_stream()
+    want, wrate = _oracle_decode(ogg)
+    got, grate = native.vorbis_decode(ogg)
+    assert grate == wrate == 8000
+    assert want.shape[0] == granule, "oracle rejected the synthetic stream"
+    assert got.shape[0] == want.shape[0]
+    err = np.abs(got - want).max()
+    scale = max(float(np.abs(want).max()), 1e-9)
+    # the reference evaluates the LSP envelope in float32, ours in double;
+    # resonance peaks amplify that rounding, hence the looser bound
+    assert err < 1e-3 * scale, f"max deviation {err} (scale {scale})"
+    assert scale > 1e-6, "stream decoded to silence (weak test)"
