@@ -9,7 +9,7 @@ then executes the entire numeric pipeline for ALL frames in parallel:
 
   bitstream symbol decode (ops/band_decode.decode_frames94)
   → dequant/scale/mix accumulate over channels (dequant_mix)
-  → inverse transform (ops/transform.transform94_raw)
+  → inverse transform (ops/transform.transform94_planar)
   → overlap-add resolve (pure shift, no scan)
 
 Every PCM word is bit-exact with the scalar reference decoder.

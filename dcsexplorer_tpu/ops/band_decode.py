@@ -10,8 +10,8 @@ exact fixed-point accumulate.
 TPU design notes:
 - Per-band → per-slot control expansion uses scatter-diff + cumsum along the
   slot axis (piecewise-constant expansion), avoiding any [F,256,16] tensors.
-- The scan's ONLY gather is one 128-bit quad-window row per FIVE symbols
-  (window_quads/quad_extract); slot controls stream in as scan xs (sliced,
+- The scan's ONLY gather is one 256-bit window row per THIRTEEN symbols
+  (window_octs/quad_extract); slot controls stream in as scan xs (sliced,
   not gathered) and codebook entries compute gather-free (cb_entry's
   boundary-sum).  Everything else is branchless VPU arithmetic.
 - The scan length is the maximum symbol count over the frame batch (from the
@@ -76,18 +76,6 @@ _SCALE_MANT = np.asarray(T.SCALE_MANTISSA, dtype=np.int32)    # [4]
 #   | (out_inc-1)<<27 | start_parity<<28
 _P_CODE, _P_MAXW, _P_CB, _P_VALID, _P_SCALE = 0, 5, 10, 20, 21
 _P_INC2, _P_PAR = 27, 28
-
-
-def window_words(stream_bytes):
-    """[L] byte array (int32) → [L] 24-bit window words W[i] = b[i..i+2].
-
-    Lets the scan read a whole bit-window with ONE gather.  The caller pads
-    the byte array with ≥3 trailing bytes.
-    """
-    b = stream_bytes
-    b1 = jnp.concatenate([b[1:], b[:1]])
-    b2 = jnp.concatenate([b[2:], b[:2]])
-    return (b << 16) | (b1 << 8) | b2
 
 
 def window_rows(stream_bytes, nwords):
