@@ -11,9 +11,13 @@ Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
                   makes symbol density matter, ARCHITECTURE.md).
 - dec93b        — the 1993-format device kernel batched over music streams.
 - dec93a_t1     — the OS93a Type-1 (Judge Dredd) device kernel batched.
-- session6      — six simultaneous voices through the ROM-session pipeline
-                  (control vectors precomputed by the host VM, device does
+- session6      — a batch of DISTINCT six-voice sessions (staggered
+                  starts, per-session volumes) through the ROM-session
+                  pipeline (host VM traces control vectors, device does
                   decode + mix + transform), the BASELINE #2 shape.
+- enc94         — the batched encoder (BASELINE #4): data parallel over
+                  files, each running the x4 format-candidate search.
+                  Host-bound; reported in x realtime across the pool.
 
 ``vs_baseline`` compares the headline against the reference's native-
 decoder floor of ~20× realtime on one CPU core (BASELINE.md).
@@ -204,6 +208,48 @@ def bench_session6(iters):
     return n_sessions * n_frames * 240 / 31250.0 / dt
 
 
+def bench_enc94(iters):
+    """Batched encoder: data parallel over files, each running the x4
+    format-candidate search (BASELINE #4; SURVEY.md sect. 2.5).  Reports
+    encoded audio seconds per wall second across the process pool."""
+    import numpy as np
+    from dcsexplorer_tpu.encoder import encoder as enc
+
+    rate = 31250
+    n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "8"))
+    rng = np.random.default_rng(7)
+    t = np.arange(rate * 2) / rate
+    jobs = []
+    for k in range(n_files):
+        x = np.zeros_like(t)
+        for f0 in (220.0, 277.2, 329.6, 440.0):
+            x += 0.2 * np.sin(2 * np.pi * f0 * (1 + 0.01 * k) * t)
+        x *= 0.5 + 0.5 * np.sin(2 * np.pi * (1.3 + 0.1 * k) * t)
+        x += 0.01 * rng.standard_normal(t.size)
+        pcm = x / np.abs(x).max() * 0.8
+        jobs.append(((pcm * 32767).astype(np.int16), rate))
+
+    # children re-initialize JAX; pin them to CPU so a fleet of encoder
+    # workers never contends for the chip the decode configs are timing
+    prev = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = prev or "cpu"
+    try:
+        audio_s = n_files * 2.0
+        best = None
+        for _ in range(max(1, iters // 2)):
+            t0 = time.perf_counter()
+            out = enc.encode_files(jobs)
+            dt = time.perf_counter() - t0
+            assert all(nf > 0 for (_, nf) in out)
+            best = dt if best is None else min(best, dt)
+        return audio_s / best
+    finally:
+        if prev is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = prev
+
+
 def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.join(HERE, "build", "jax_cache"))
@@ -232,6 +278,8 @@ def main():
             _read(["dense_t1.dcs93a1"])[0], True, max(2, copies // 8), iters)
     if want("session6"):
         configs["session6"] = bench_session6(iters)
+    if want("enc94"):
+        configs["enc94"] = bench_enc94(iters)
 
     headline = configs.get("flat94", next(iter(configs.values())))
     print(json.dumps({
