@@ -168,7 +168,7 @@ def bench_session6(iters):
     rs.check()
 
     n_frames = 1000
-    n_sessions = int(os.environ.get("DCS_BENCH_SESSIONS", "32"))
+    n_sessions = int(os.environ.get("DCS_BENCH_SESSIONS", "128"))
     bank = romplay.build_rom_bank(rs)
 
     def trace_one(b):
