@@ -218,6 +218,9 @@ static bool read_codebook(BitReader& br, Codebook& cb) {
     cb.entries = (int)br.read(24);
     if (cb.dims <= 0 || cb.entries <= 0 || cb.entries > (1 << 22))
         return false;
+    // cap the expanded VQ table: adversarial dims x entries would ask for
+    // gigabytes (real streams stay well under a few MB)
+    if ((int64_t)cb.dims * cb.entries > (1 << 24)) return false;
     std::vector<int> lengths(cb.entries, 0);
     int ordered = br.read1();
     if (!ordered) {
