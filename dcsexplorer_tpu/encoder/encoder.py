@@ -91,6 +91,40 @@ _CODEBOOK_CODES = _invert_codebooks()
 _DELTA_CODES = _invert_delta_tree()
 DELTA_RANGE = (min(_DELTA_CODES), max(_DELTA_CODES))
 
+# array forms for the vectorized packer: LUT[bw, value] → codeword/bits,
+# the per-book two-zero codeword, and the delta tree over its range
+_CB_LUT_CODE = np.zeros((7, 64), dtype=np.int64)
+_CB_LUT_BITS = np.zeros((7, 64), dtype=np.int64)
+_CB_TZ_CODE = np.zeros(7, dtype=np.int64)
+_CB_TZ_BITS = np.zeros(7, dtype=np.int64)
+for _k, (_bv, _tz) in _CODEBOOK_CODES.items():
+    for _v, (_c, _nb) in _bv.items():
+        _CB_LUT_CODE[_k, _v] = _c
+        _CB_LUT_BITS[_k, _v] = _nb
+    if _tz is not None:
+        _CB_TZ_CODE[_k], _CB_TZ_BITS[_k] = _tz
+_DELTA_VAL_ARR = np.zeros(DELTA_RANGE[1] - DELTA_RANGE[0] + 1, np.int64)
+_DELTA_BITS_ARR = np.zeros_like(_DELTA_VAL_ARR)
+for _d, (_c, _nb) in _DELTA_CODES.items():
+    _DELTA_VAL_ARR[_d - DELTA_RANGE[0]] = _c
+    _DELTA_BITS_ARR[_d - DELTA_RANGE[0]] = _nb
+
+
+def _pack_bits(values, bits):
+    """MSB-first pack of variable-width symbols (bits == 0 emits nothing);
+    bit-identical to feeding each (value, width) through BitWriter."""
+    values = np.asarray(values, dtype=np.int64).reshape(-1)
+    bits = np.asarray(bits, dtype=np.int64).reshape(-1)
+    total = int(bits.sum())
+    if total == 0:
+        return b""
+    reps = np.repeat(np.arange(bits.size), bits)
+    offs = np.concatenate([[0], np.cumsum(bits)[:-1]])
+    k = np.arange(total) - offs[reps]
+    shift = bits[reps] - 1 - k
+    bitarr = ((values[reps] >> shift) & 1).astype(np.uint8)
+    return np.packbits(bitarr).tobytes()
+
 
 class BitWriter:
     """MSB-first bit packer (counterpart of reference BitWriter,
@@ -323,9 +357,15 @@ def _encode_stream(coefs, fmt_type, sub_type, params: CompressionParams):
             pcol[f] = pmap[prev_c] if dep else 0
             prev_c = c
 
-    # --- per-band staged sample values for the chosen codes, vectorized
-    staged = []           # per band: list-of-lists of python ints [F][n]
-    enc_info = []         # per band: (bw[F], ref[F], mask[F]) as lists
+    # --- packing (frame-major, as the decoder reads it).  Fully
+    # vectorized: one [F, C] symbol matrix — the per-frame delta codes
+    # followed by every band's sample slots in band order — flattened
+    # row-major IS the global emission order, with zero-width symbols
+    # (skipped bands, paired-zero shadows) contributing no bits.
+    prev_rows = np.vstack([np.zeros((1, 16), np.int64), codes[:-1]])
+    deltas = (codes - prev_rows)[:, :bands_keep]
+    parts_v = [_DELTA_VAL_ARR[deltas - DELTA_RANGE[0]]]
+    parts_b = [_DELTA_BITS_ARR[deltas - DELTA_RANGE[0]]]
     for b in range(bands_keep):
         s, n = BAND_START[b], BAND_SIZES[b]
         bw = np.zeros(F, dtype=np.int64)
@@ -336,47 +376,40 @@ def _encode_stream(coefs, fmt_type, sub_type, params: CompressionParams):
         scale = np.array([max(_scale_factor(int(c)), 1) for c in sc],
                          dtype=np.float64)
         q = np.round(coefs[:, s:s + n] / scale[:, None]).astype(np.int64)
-        staged.append(q.tolist())
         ref = np.where((bw >= 1) & (bw <= 6), 1 << np.maximum(bw - 1, 0), 0)
         mask = (1 << np.maximum(bw, 1)) - 1
-        enc_info.append((bw.tolist(), ref.tolist(), mask.tolist()))
+        vals = (q + ref[:, None]) & mask[:, None]
 
-    # --- packing (frame-major, as the decoder reads it)
-    w = BitWriter()
-    codes_l = codes.tolist()
-    prev = [0] * 16
-    for f in range(F):
-        row = codes_l[f]
-        for b in range(bands_keep):
-            cw_, nb = _DELTA_CODES[row[b] - prev[b]]
-            w.write(cw_, nb)
-        for b in range(bands_keep):
-            if row[b] == 0:
-                continue
-            bw, ref, mask = (enc_info[b][0][f], enc_info[b][1][f],
-                             enc_info[b][2][f])
-            if bw == 0:
-                continue
-            vals = staged[b][f]
-            n = len(vals)
-            if bw <= 6:
-                by_val, two_zero = _CODEBOOK_CODES[bw]
-                i = 0
-                while i < n:
-                    v = vals[i]
-                    if (two_zero is not None and v == 0 and i + 1 < n
-                            and vals[i + 1] == 0):
-                        w.write(*two_zero)
-                        i += 2
-                        continue
-                    w.write(*by_val[(v + ref) & mask])
-                    i += 1
-            else:
-                for v in vals:
-                    w.write((v + ref) & mask, bw)
-        prev = row
+        live = ((codes[:, b] != 0) & (bw != 0))[:, None]    # band emits
+        is_cb = ((bw >= 1) & (bw <= 6))[:, None]
+        bwc = np.clip(bw, 0, 6)
 
-    body = w.bytes()
+        # greedy left-to-right zero pairing, closed form: within each
+        # maximal zero run, pair heads sit at even run offsets
+        zero = (q == 0) & is_cb & live & (_CB_TZ_BITS[bwc] > 0)[:, None]
+        col = np.arange(n)[None, :]
+        starts = zero & ~np.concatenate(
+            [np.zeros((F, 1), bool), zero[:, :-1]], axis=1)
+        run_start = np.maximum.accumulate(np.where(starts, col, -1), axis=1)
+        offset = col - run_start
+        next_zero = np.concatenate(
+            [zero[:, 1:], np.zeros((F, 1), bool)], axis=1)
+        pair_head = zero & (offset % 2 == 0) & next_zero
+        shadow = np.concatenate(
+            [np.zeros((F, 1), bool), pair_head[:, :-1]], axis=1)
+
+        cb_code = _CB_LUT_CODE[bwc[:, None], vals & 63]
+        cb_bits = _CB_LUT_BITS[bwc[:, None], vals & 63]
+        code = np.where(is_cb, cb_code, vals)
+        bits = np.where(is_cb, cb_bits, bw[:, None])
+        code = np.where(pair_head, _CB_TZ_CODE[bwc][:, None], code)
+        bits = np.where(pair_head, _CB_TZ_BITS[bwc][:, None], bits)
+        bits = np.where(live & ~shadow, bits, 0)
+        parts_v.append(code)
+        parts_b.append(bits)
+
+    body = _pack_bits(np.concatenate(parts_v, axis=1),
+                      np.concatenate(parts_b, axis=1))
     out = bytearray()
     out += F.to_bytes(2, "big")
     out += header
