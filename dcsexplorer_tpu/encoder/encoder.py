@@ -366,15 +366,22 @@ def _encode_stream(coefs, fmt_type, sub_type, params: CompressionParams):
     deltas = (codes - prev_rows)[:, :bands_keep]
     parts_v = [_DELTA_VAL_ARR[deltas - DELTA_RANGE[0]]]
     parts_b = [_DELTA_BITS_ARR[deltas - DELTA_RANGE[0]]]
+    pv_arr = np.asarray(preadj_values)
     for b in range(bands_keep):
         s, n = BAND_START[b], BAND_SIZES[b]
-        bw = np.zeros(F, dtype=np.int64)
-        sc = np.zeros(F, dtype=np.int64)
-        for f in range(F):          # cheap: table lookups only
-            bw[f], sc[f] = _band_coding(b, int(codes[f, b]), fmt_type,
-                                        hdr_scale[b], int(padj_of[f, b]))
-        scale = np.array([max(_scale_factor(int(c)), 1) for c in sc],
-                         dtype=np.float64)
+        # (code, preadj) → (width, scale) as a small LUT instead of one
+        # _band_coding call per frame
+        P = len(preadj_values)
+        bw_lut = np.zeros((16, P), dtype=np.int64)
+        sf_lut = np.zeros((16, P), dtype=np.float64)
+        for c in range(16):
+            for pi, pvv in enumerate(preadj_values):
+                bw_lut[c, pi], sc_c = _band_coding(b, c, fmt_type,
+                                                   hdr_scale[b], pvv)
+                sf_lut[c, pi] = max(_scale_factor(int(sc_c)), 1)
+        pidx = np.searchsorted(pv_arr, padj_of[:, b])
+        bw = bw_lut[codes[:, b], pidx]
+        scale = sf_lut[codes[:, b], pidx]
         q = np.round(coefs[:, s:s + n] / scale[:, None]).astype(np.int64)
         ref = np.where((bw >= 1) & (bw <= 6), 1 << np.maximum(bw - 1, 0), 0)
         mask = (1 << np.maximum(bw, 1)) - 1
