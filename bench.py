@@ -61,7 +61,7 @@ def bench_flat94(streams, copies, iters, shard=True):
     catalog = streams * copies
     sweep_in = flatsweep.FlatSweep(catalog).pack()
     args = list(sweep_in.args())
-    args[0] = bd.window_octs(args[0])
+    args[0] = bd.window_rows_for(args[0], args[1].shape[0])
 
     def sweep(*a):
         pcm = flatsweep.flat_pipeline(*a)

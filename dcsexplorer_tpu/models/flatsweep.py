@@ -231,7 +231,7 @@ class FlatSweep:
 def run_flat(sweep: FlatSweep):
     """Decode the whole packed catalog; returns int16 PCM [N*240]."""
     args = list(sweep.args())
-    args[0] = bd.window_octs(args[0])
+    args[0] = bd.window_rows_for(args[0], args[1].shape[0])
     fn = jax.jit(flat_pipeline, static_argnums=(10,))
     pcm = np.asarray(fn(*args))
     return (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)

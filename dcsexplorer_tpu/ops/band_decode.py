@@ -82,12 +82,12 @@ def window_rows(stream_bytes, nwords):
     """[L] byte array (int32) → [W, nwords] uint32 row windows, where row j
     holds the nwords big-endian 32-bit words covering bytes 4j..4j+4n-1.
 
-    One ROW gather (measured: cost is per ROW, independent of row width up
-    to 8 words) yields a 32·nwords-bit window serving several max-width
-    (17-bit) symbols after worst-case 31-bit alignment — so a scan's
-    window gather runs once per symbols_per_row() symbols instead of once
-    per symbol.  The caller pads the byte array with ≥4·nwords trailing
-    bytes.
+    One ROW gather yields a 32·nwords-bit window serving several
+    max-width (17-bit) symbols after worst-case 31-bit alignment — so a
+    scan's window gather runs once per symbols_per_row() symbols instead
+    of once per symbol.  Wider rows trade fewer serial gather steps for
+    more bytes per step; window_rows_for picks by batch size.  The
+    caller pads the byte array with ≥4·nwords trailing bytes.
     """
     b = jnp.concatenate([stream_bytes.astype(jnp.uint32),
                          jnp.full(4 * nwords, 0xFF, jnp.uint32)])
@@ -107,12 +107,19 @@ def window_quads(stream_bytes):
 
 
 def window_octs(stream_bytes):
-    """256-bit (8-word) windows: 13 max-width symbols per row gather.
-
-    Row gathers cost the same as 4-word rows (per-row, not per-byte), so
-    the wider row cuts a serial scan's gather steps 2.6x.
-    """
+    """256-bit (8-word) windows: 13 max-width symbols per row gather
+    (2.6x fewer serial steps than quads, 2x the bytes per step)."""
     return window_rows(stream_bytes, 8)
+
+
+def window_rows_for(stream_bytes, n_frames):
+    """Pick the row width by flat-batch size (measured crossover ~128k
+    frames): wide 256-bit rows win when the serial window gather is
+    latency-bound (small batches — fewer scan steps dominate); 128-bit
+    rows win when it is throughput-bound (large batches pay for the 2x
+    bytes per row).  See ARCHITECTURE.md."""
+    return window_octs(stream_bytes) if n_frames < (1 << 17) \
+        else window_quads(stream_bytes)
 
 
 def symbols_per_row(rows):
