@@ -126,3 +126,32 @@ def sharded_sweep(mesh, args):
                  out_shardings=out_sharding)
     with mesh:
         return fn(*args)
+
+
+def sharded_sessions(mesh, bank, rows, mix, vol_shift):
+    """Run a batch of sessions data-parallel over the mesh.
+
+    The serving shape: B independent control traces (sessions) against one
+    replicated stream bank.  rows/mix: [B, T, 8]; vol_shift: [B, T].
+    Returns pcm [B, T, 240] (u16 storage), bit-identical to vmapping
+    bank.device_decode on one device (tests/test_parallel.py).
+    """
+    import jax
+
+    B = rows.shape[0]
+    pad = (-B) % mesh.devices.size
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
+        mix = jnp.pad(mix, ((0, pad), (0, 0), (0, 0)))
+        vol_shift = jnp.pad(vol_shift, ((0, pad), (0, 0)))
+    row_sh = NamedSharding(mesh, P("batch"))
+
+    def run(r, m, v):
+        pcm, _ = jax.vmap(lambda a, b, c: bank.device_decode(a, b, c))(
+            r, m, v)
+        return pcm
+
+    fn = jax.jit(run, in_shardings=(row_sh,) * 3, out_shardings=row_sh)
+    with mesh:
+        return fn(jnp.asarray(rows, jnp.int32), jnp.asarray(mix, jnp.int32),
+                  jnp.asarray(vol_shift, jnp.int32))[:B]

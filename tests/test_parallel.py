@@ -84,3 +84,58 @@ def test_sharded_flat_sweep_bit_exact():
     assert sharded.shape == single.shape
     assert np.array_equal(sharded, single), (
         "sharded flat sweep diverged from single-device")
+
+
+def test_sharded_sessions_bit_exact():
+    """Session serving sharded over the mesh (pure DP over sessions) must
+    equal the single-device vmapped decode bit-for-bit — including a batch
+    that does not divide the device count (padding rows)."""
+    from dcsexplorer_tpu.models import pipeline as pl, romplay
+    from dcsexplorer_tpu.compiler import romgen as g
+    from dcsexplorer_tpu.refdec import decoder as rd
+    from dcsexplorer_tpu.rom import zipload
+    import jax.numpy as jnp
+
+    streams = [open(os.path.join(ASSETS, f"{n}.dcs94"), "rb").read()
+               for n in LEGACY[:3]]
+    spec = g.RomSpec(os_version=rd.OS94, num_channels=6)
+    spec.streams = {f"s{i}": d for i, d in enumerate(streams)}
+    spec.tracks = [g.TrackSpec(0, steps=[g.op_end()])]
+    for i in range(3):
+        spec.tracks.append(g.TrackSpec(i + 1, channel=i, steps=[
+            g.op_mix(0, i, 0x40 + 4 * i),
+            g.op_play(i, f"s{i}", repeat=0),
+            g.op_wait_forever(),
+        ]))
+    rs, _ = zipload.load_zip_data(g.RomBuilder(spec).build_zip())
+    rs.check()
+    bank = romplay.build_rom_bank(rs)
+
+    B, T = 6, 40                     # 6 sessions on 8 devices → padding
+    rows, mixes, vols = [], [], []
+    for b in range(B):
+        tr = pl.ControlTracer()
+        tr.load_rom_set(rs)
+        tr.soft_boot()
+
+        def start(dec, b=b):
+            for t in range(1, 4):
+                dec.write_data_port(0x00)
+                dec.write_data_port(t)
+        tr.trace_frames(T, events={(b % 5): start})
+        r, m, v = pl.assemble_controls(tr, bank)
+        rows.append(r)
+        mixes.append(m)
+        vols.append(v)
+    rows = np.stack(rows)
+    mixes = np.stack(mixes)
+    vols = np.stack(vols)
+
+    single = np.asarray(jax.jit(jax.vmap(
+        lambda a, b_, c: bank.device_decode(a, b_, c)[0]))(
+        jnp.asarray(rows), jnp.asarray(mixes), jnp.asarray(vols)))
+
+    mesh = sweep.make_flat_mesh()
+    sharded = np.asarray(sweep.sharded_sessions(
+        mesh, bank, rows, mixes, vols))
+    assert np.array_equal(sharded, single)
