@@ -102,16 +102,35 @@ struct BitReader {
     BitReader(const uint8_t* p, size_t n) : d(p), nbytes(n) {}
 
     uint32_t read(int n) {
-        uint32_t v = 0;
-        for (int i = 0; i < n; i++) {
-            size_t b = bit + i;
-            if (b >= nbytes * 8) { eop = true; return v; }
-            v |= (uint32_t)((d[b >> 3] >> (b & 7)) & 1) << i;
+        if (bit + n > nbytes * 8) {
+            // partial-read semantics at end of packet: return the
+            // available low bits without consuming (callers check eop)
+            uint32_t v = 0;
+            for (int i = 0; i < n; i++) {
+                size_t b = bit + i;
+                if (b >= nbytes * 8) { eop = true; return v; }
+                v |= (uint32_t)((d[b >> 3] >> (b & 7)) & 1) << i;
+            }
+            bit += n;
+            return v;
         }
+        // LSB-first packing = consecutive bits ascend in significance of a
+        // little-endian load
+        size_t byte = bit >> 3;
+        uint64_t w = 0;
+        size_t take = nbytes - byte < 8 ? nbytes - byte : 8;
+        memcpy(&w, d + byte, take);
+        uint32_t v = (uint32_t)(w >> (bit & 7));
+        if (n < 32) v &= (1u << n) - 1;
         bit += n;
         return v;
     }
-    int read1() { return (int)read(1); }
+    int read1() {
+        if (bit >= nbytes * 8) { eop = true; return 0; }
+        int v = (d[bit >> 3] >> (bit & 7)) & 1;
+        bit++;
+        return v;
+    }
 };
 
 static int ilog(uint32_t v) {
@@ -198,8 +217,29 @@ struct Codebook {
         return used > 0;
     }
 
-    int decode(BitReader& br) const {
-        int node = 0;
+    // accel table over the first 8 bits: >0 → (entry<<8)|len resolved,
+    // <0 → -(node+1) to continue the walk, 0 → invalid prefix
+    std::vector<int32_t> fast;
+
+    void build_fast(int node, int depth, int prefix) {
+        if (fast.empty()) fast.assign(256, 0);
+        for (int b = 0; b < 2; b++) {
+            int32_t slot = tree[2 * node + b];
+            int p2 = prefix | (b << depth);
+            if (slot < 0) {
+                int32_t f = ((~slot) << 8) | (depth + 1);
+                for (int v = p2; v < 256; v += 1 << (depth + 1))
+                    fast[v] = f;
+            } else if (slot > 0) {
+                if (depth + 1 == 8)
+                    fast[p2] = -(slot + 1);
+                else
+                    build_fast(slot, depth + 1, p2);
+            }
+        }
+    }
+
+    int walk(BitReader& br, int node) const {
         for (int guard = 0; guard < 33; guard++) {
             int bit = br.read1();
             if (br.eop) return -1;
@@ -209,6 +249,26 @@ struct Codebook {
             node = slot;
         }
         return -1;
+    }
+
+    int decode(BitReader& br) const {
+        if (!fast.empty() && br.bit + 8 <= br.nbytes * 8) {
+            size_t byte = br.bit >> 3;
+            uint32_t hi = byte + 1 < br.nbytes ? br.d[byte + 1] : 0;
+            uint32_t v8 = (((uint32_t)br.d[byte] | (hi << 8))
+                           >> (br.bit & 7)) & 0xFF;
+            int32_t f = fast[v8];
+            if (f > 0) {
+                br.bit += f & 0xFF;
+                return f >> 8;
+            }
+            if (f < 0) {
+                br.bit += 8;
+                return walk(br, -f - 1);
+            }
+            return -1;                        // invalid 8-bit prefix
+        }
+        return walk(br, 0);
     }
 };
 
@@ -246,6 +306,7 @@ static bool read_codebook(BitReader& br, Codebook& cb) {
     }
     if (br.eop) return false;
     if (!cb.build_tree(lengths)) return false;
+    cb.build_fast(0, 0, 0);
 
     cb.lookup_type = (int)br.read(4);
     if (cb.lookup_type == 0) return true;
@@ -1038,18 +1099,29 @@ struct Decoder {
         return true;
     }
 
-    // windows: [flag][prev_flag][next_flag] but only slopes matter; build
-    // per (n, left_slope_n, right_slope_n) on the fly
-    void apply_window(std::vector<float>& y, int n, int ls_n, int rs_n) {
+    // windows, cached per (n, left_slope_n, right_slope_n)
+    std::vector<std::pair<uint64_t, std::vector<float>>> win_cache;
+
+    const std::vector<float>& get_window(int n, int ls_n, int rs_n) {
+        uint64_t key = ((uint64_t)n << 32) | ((uint64_t)ls_n << 16) | rs_n;
+        for (auto& kv : win_cache)
+            if (kv.first == key) return kv.second;
+        std::vector<float> w((size_t)n, 1.0f);
         int ls = n / 4 - ls_n / 4;
         int le = n / 4 + ls_n / 4;
         int rs = 3 * n / 4 - rs_n / 4;
         int re = 3 * n / 4 + rs_n / 4;
-        for (int i = 0; i < ls; i++) y[i] = 0.0f;
-        for (int i = ls; i < le; i++) y[i] *= slope(i - ls, ls_n / 2 * 2);
-        for (int i = rs; i < re; i++)
-            y[i] *= slope(re - 1 - i, rs_n / 2 * 2);
-        for (int i = re; i < n; i++) y[i] = 0.0f;
+        for (int i = 0; i < ls; i++) w[i] = 0.0f;
+        for (int i = ls; i < le; i++) w[i] = slope(i - ls, ls_n);
+        for (int i = rs; i < re; i++) w[i] = slope(re - 1 - i, rs_n);
+        for (int i = re; i < n; i++) w[i] = 0.0f;
+        win_cache.emplace_back(key, std::move(w));
+        return win_cache.back().second;
+    }
+
+    void apply_window(std::vector<float>& y, int n, int ls_n, int rs_n) {
+        const std::vector<float>& w = get_window(n, ls_n, rs_n);
+        for (int i = 0; i < n; i++) y[i] *= w[i];
     }
 
     bool audio_packet(const std::vector<uint8_t>& b) {
