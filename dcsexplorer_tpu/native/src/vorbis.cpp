@@ -3,15 +3,13 @@
 // (reference: DCSEncoder/DCSEncodeFile.cpp:55-59).
 //
 // Implemented from the Vorbis I specification (Ogg framing, setup-header
-// codebooks, floor type 1, residue types 0/1/2, square-polar channel
-// coupling, IMDCT, lapped windowing).  No code is taken from
+// codebooks, floor types 0 and 1, residue types 0/1/2, square-polar
+// channel coupling, IMDCT, lapped windowing).  No code is taken from
 // libvorbis/libnyquist; the one literal spec table (FLOOR1_fromdB_LOOKUP,
 // spec sect. 10) is extracted into vorbis_tables.h by a transparent
 // generator, and tests/test_vorbis.py compares whole-file PCM against the
-// reference decoder compiled out-of-tree.
-//
-// Scope notes: floor type 0 (LSP; emitted by no known encoder for years)
-// is parsed but rejected with a clear error at decode time.
+// reference decoder compiled out-of-tree — including a hand-built
+// floor-0 stream (no modern encoder emits one).
 
 #include <array>
 #include <cmath>
