@@ -263,6 +263,13 @@ def decode93_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     new_val = jnp.where(kindx == K_REPEAT, rep_new, acc_new)
     write = live & (kindx != K_NONE)
 
+    # The scatter below is ~60% of this kernel's device time (84 of
+    # 141 ms on the bench batch).  Both alternatives measured SLOWER:
+    # a host-built inverse permutation + [F,512] take_along (2x the
+    # gathered elements), and packing old|new into one word.  93 band
+    # spans are data-dependent (unlike 93a's static spans), so the
+    # scatter-free positional design of the 94 path does not transfer.
+
     rows = (jnp.arange(F, dtype=jnp.int32)[:, None]
             * jnp.ones((1, 256), jnp.int32)).reshape(-1)
     tgt = jnp.where(write, fbi, 512).reshape(F, 256)
