@@ -467,12 +467,12 @@ def dequant_mix_dense(dense_vals, slot_ctl, mix, fb_prev=None, active=None):
         prod = ((s16(out_old) << 16) | contrib_low) + mixprod
         new_val = (prod >> 16) & M16
 
-    rows = jnp.arange(F, dtype=jnp.int32)[:, None] * jnp.ones((1, 256), jnp.int32)
-    tgt = jnp.where(valid, fb_idx, 512)
-    fb = jnp.concatenate([fb_prev, jnp.zeros((F, 1), jnp.int32)], axis=1)
-    fb = fb.at[rows.reshape(-1), jnp.clip(tgt, 0, 512).reshape(-1)].set(
-        new_val.reshape(-1), mode="drop")
-    fb = fb[:, :512]
+    # scatter-free placement (see ops/decode93.py): positions are written
+    # at most once per frame, so a fused one-hot reduce places exactly
+    tgt = jnp.where(valid, fb_idx, 512)[:, :, None]
+    hit = tgt == jnp.arange(512, dtype=jnp.int32).reshape(1, 1, 512)
+    sums = jnp.sum(jnp.where(hit, new_val[:, :, None], 0), axis=1)
+    fb = jnp.where(jnp.any(hit, axis=1), sums, fb_prev)
 
     # first-sample delta fixup (only where the channel is active)
     delta = sat16(s16(fb[:, 1]) - s16(outbuf1))
