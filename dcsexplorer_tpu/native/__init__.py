@@ -71,8 +71,31 @@ def get_lib():
     lib.vorbis_imdct_selftest.restype = C.c_double
     lib.vorbis_imdct_selftest.argtypes = [C.c_int, C.c_void_p, C.c_void_p,
                                           C.c_void_p]
+    lib.dcs_pack_bits.restype = C.c_int64
+    lib.dcs_pack_bits.argtypes = [C.c_void_p, C.c_void_p, C.c_int64,
+                                  C.c_void_p, C.c_int64]
     _lib = lib
     return _lib
+
+
+def pack_bits(values, bits):
+    """MSB-first pack of variable-width symbols via the native packer.
+
+    values/bits: int32 arrays of equal size.  Returns bytes, or None if
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.int32).reshape(-1)
+    bits = np.ascontiguousarray(bits, dtype=np.int32).reshape(-1)
+    cap = int(bits.sum()) // 8 + 8
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.dcs_pack_bits(values.ctypes.data_as(C.c_void_p),
+                          bits.ctypes.data_as(C.c_void_p),
+                          values.size, out.ctypes.data_as(C.c_void_p), cap)
+    if n < 0:
+        raise RuntimeError("bit packer capacity exceeded")
+    return out[:n].tobytes()
 
 
 class NativeDecode:

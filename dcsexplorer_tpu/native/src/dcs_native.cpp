@@ -467,3 +467,37 @@ int dcs93a_index(const uint8_t* mem, int len, int pos, int32_t* meta,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// MSB-first variable-width bit packer (counterpart of the encoder's
+// BitWriter, reference DCSEncoder.h:333-389): packs n (value, width)
+// symbols, width 0 emitting nothing.  Returns bytes written, or -1 if the
+// output would exceed cap.  Shared by the numpy and device encoder paths
+// (encoder/core94.pack_bits).
+long long dcs_pack_bits(const int32_t* values, const int32_t* bits,
+                        long long n, uint8_t* out, long long cap) {
+    unsigned long long acc = 0;
+    int nacc = 0;
+    long long w = 0;
+    for (long long i = 0; i < n; ++i) {
+        int nb = bits[i];
+        if (nb <= 0) continue;
+        acc = (acc << nb) | (static_cast<unsigned long long>(
+            static_cast<uint32_t>(values[i])) & ((1ull << nb) - 1));
+        nacc += nb;
+        while (nacc >= 8) {
+            nacc -= 8;
+            if (w >= cap) return -1;
+            out[w++] = static_cast<uint8_t>((acc >> nacc) & 0xFF);
+        }
+        acc &= (1ull << nacc) - 1;
+    }
+    if (nacc > 0) {
+        if (w >= cap) return -1;
+        out[w++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFF);
+    }
+    return w;
+}
+
+}  // extern "C"
