@@ -63,29 +63,30 @@ def rdiv(a, s):
     """Round-half-away-from-zero integer division (the canonical
     quantizer): q = floor((2|a| + s) / 2s), signed.
 
-    |a| ≤ 2^20 and s ≤ 2^17, so every intermediate integer is exactly
-    representable in float64 (and float32); the float division is only an
-    estimate and the integer fixup rounds make the result the exact floor —
-    which makes the formula portable bit-for-bit to the device (device94
-    uses the same fixup in float32).  Hardware integer division would be
-    exact too but is an order of magnitude slower on both numpy and TPU."""
-    x = 2.0 * np.abs(a.astype(np.float64)) + s
-    y = 2.0 * np.asarray(s, dtype=np.float64)
+    |a| ≤ 2^20 and s < 2^16, so every intermediate integer is < 2^24 and
+    exactly representable in float32; the f32 division's floor is off by
+    at most 1 and r = x − q·y is computed exactly (the true product is an
+    integer < 2^24), so one fixup round makes q the exact floor — which
+    makes the formula portable bit-for-bit to the device (device94 uses
+    the identical f32 formula).  Hardware integer division would be exact
+    too but is an order of magnitude slower on both numpy and TPU."""
+    a = np.asarray(a)
+    x = 2.0 * np.abs(a, dtype=np.float32) + np.asarray(s, np.float32)
+    y = np.float32(2.0) * np.asarray(s, dtype=np.float32)
     q = np.floor(x / y)
-    for _ in range(2):
-        r = x - q * y
-        q += (r >= y).astype(np.float64) - (r < 0).astype(np.float64)
-    return (np.where(np.asarray(a) < 0, -q, q)).astype(np.int32)
+    r = x - q * y
+    q += (r >= y).astype(np.float32) - (r < 0).astype(np.float32)
+    return np.where(a < 0, -q, q).astype(np.int32)
 
 
 # ----------------------------------------------------------------------
 # codeword LUTs inverted from the decode tables (shared with device94)
 
 def _invert_codebooks():
-    lut_code = np.zeros((7, 64), dtype=np.int64)
-    lut_bits = np.zeros((7, 64), dtype=np.int64)
-    tz_code = np.zeros(7, dtype=np.int64)
-    tz_bits = np.zeros(7, dtype=np.int64)
+    lut_code = np.zeros((7, 64), dtype=np.int32)
+    lut_bits = np.zeros((7, 64), dtype=np.int32)
+    tz_code = np.zeros(7, dtype=np.int32)
+    tz_bits = np.zeros(7, dtype=np.int32)
     for k in range(1, 7):
         flat = np.asarray(T.CODEBOOKS[k])
         maxw = int(T.MAX_BIT_WIDTH[k])
@@ -122,7 +123,7 @@ def _invert_delta_tree():
 
     walk(0, 0, 0)
     lo = min(codes)
-    val = np.zeros(max(codes) - lo + 1, np.int64)
+    val = np.zeros(max(codes) - lo + 1, np.int32)
     bts = np.zeros_like(val)
     for d, (c, nb) in codes.items():
         val[d - lo] = c
@@ -269,8 +270,6 @@ def _format_setup(t, sub, base_code, bands_keep):
     header[2] |= (sub & 0x01) << 7
 
     # (band, code, p) → width / scale factor, fully vectorized
-    w_lut = np.zeros((16, 16, PMAX), dtype=np.int64)
-    sf_lut = np.ones((16, 16, PMAX), dtype=np.int64)
     kept = np.arange(16) < bands_keep                        # [16] bands
     codes = np.arange(16)                                    # [16] codes
     pcols = np.asarray([pvals[min(pi, n_p - 1)] for pi in range(PMAX)])
@@ -286,16 +285,17 @@ def _format_setup(t, sub, base_code, bands_keep):
         sc = (hdr_scale[:, None, None] + xl[:, :, 1][:, :, None]
               + p_eff[:, None, :])
     live = kept[:, None, None] & (codes[None, :, None] >= 1)
-    w_lut = np.where(live, w, 0)
-    sf_lut = np.where(live, _SCALEANY[sc & 63], 1)
+    w_lut = np.where(live, w, 0).astype(np.int32)
+    sf_lut = np.where(live, _SCALEANY[sc & 63], 1).astype(np.int32)
 
     # coefficient-domain fit window per (band, code, p): the width w can
     # represent quantized values in [-2^(w-1), 2^(w-1)-1], and
     # rdiv(a, sf) <= L  ⟺  a <= (sf·(2L+1) − 1) // 2, so the per-frame
     # fit test reduces to comparing the band min/max against these limits
-    half = np.int64(1) << np.maximum(w_lut - 1, 0)
-    amax_lut = (sf_lut * (2 * (half - 1) + 1) - 1) // 2
-    amin_lut = -((sf_lut * (2 * half + 1) - 1) // 2)
+    half = np.int64(1) << np.maximum(w_lut.astype(np.int64) - 1, 0)
+    sf64 = sf_lut.astype(np.int64)
+    amax_lut = ((sf64 * (2 * (half - 1) + 1) - 1) // 2).astype(np.int32)
+    amin_lut = (-((sf64 * (2 * half + 1) - 1) // 2)).astype(np.int32)
     return FormatSetup(fmt_type=t, sub_type=sub, hdr_scale=hdr_scale,
                        header=bytes(header), n_p=n_p,
                        pidx_of_prev=pidx_of_prev, w_lut=w_lut, sf_lut=sf_lut,
@@ -342,19 +342,16 @@ def decision_tables_np(ci, st: StreamSetup, fs: FormatSetup):
     fit = ((mn[:, :, None, None] >= fs.amin_lut[None, :, 1:, :n_p])
            & (mx[:, :, None, None] <= fs.amax_lut[None, :, 1:, :n_p]))
 
-    def best(hi):
-        cand = np.zeros((15, 1), dtype=bool)
-        cand[:hi] = True
-        ok = fit & cand
-        first = ok.argmax(axis=2)                      # first fit (or 0)
-        any_ = ok.any(axis=2)
-        return np.where(any_, first + 1, hi).astype(np.int64)
+    first = fit.argmax(axis=2)                         # first fit (or 0)
+    any_ = fit.any(axis=2)
+    b15 = np.where(any_, first + 1, 15).astype(np.int32)
 
-    out15 = np.zeros((F, 16, PMAX), dtype=np.int64)
-    out14 = np.zeros((F, 16, PMAX), dtype=np.int64)
-    out15[:, :, :n_p] = best(15)
-    out14[:, :, :n_p] = best(14)
-    out15, out14 = _wrap_refine_np(ci, st, fs, out15, out14, n_p)
+    out15 = np.zeros((F, 16, PMAX), dtype=np.int32)
+    out15[:, :, :n_p] = b15
+    # the hi=14 variant (previous code 0 forbids code 15) differs only
+    # where the first fit is 15: codes 1..14 then don't fit, so it falls
+    # back to 14 — derivable without a second search
+    out15, out14 = _wrap_refine_np(ci, st, fs, out15, n_p)
 
     silent = (mx - mn) <= st.sil_max                   # [F, 16]
     return out15, out14, silent
@@ -368,20 +365,7 @@ WRAP_CMAX = 6
 D_CLAMP = 5793          # per-sample |diff| clamp: 5793² < 2³¹/32
 
 
-def _wrap_esum(seg, w, sf, cape):
-    """Exact capped error sum for quantizing seg [..., n] with (w, sf):
-    int32-portable; exact for deciding esum <= thr whenever thr < cape."""
-    q = rdiv(seg, sf)
-    ref = np.int32(1) << np.int32(w - 1)
-    mask = (np.int32(1) << np.int32(w)) - 1
-    stored = (q + ref) & mask
-    diff = (stored - ref) * np.int32(sf) - seg
-    dc = np.minimum(np.abs(diff), D_CLAMP)
-    e = np.minimum(dc * dc, np.int32(cape))
-    return e.sum(axis=-1, dtype=np.int64).astype(np.int32)
-
-
-def _wrap_refine_np(ci, st, fs, out15, out14, n_p):
+def _wrap_refine_np(ci, st, fs, out15, n_p):
     """Allow codes narrower than the fitting one when their exact
     quantization error (including wrap distortion) stays within the
     maximum-quantization-error budget — the lever through which
@@ -395,7 +379,13 @@ def _wrap_refine_np(ci, st, fs, out15, out14, n_p):
     above the budget); the device twin evaluates all of them — both reach
     identical results because the skip is conservative."""
     import math
+    F = ci.shape[0]
     mn, mx = band_minmax(ci)
+    out14 = np.where(out15 == 15, 14, out15)
+    # per-(band, pi) max fitting code across frames: a candidate c can
+    # only matter when some frame's fitting code exceeds it
+    cmax15 = out15.max(axis=0)            # [16, PMAX]
+    BIG = np.int32(1 << 14)
     for b in range(st.bands_keep):
         s, n = BAND_START[b], BAND_SIZES[b]
         thr = int(st.thr[b])
@@ -405,16 +395,14 @@ def _wrap_refine_np(ci, st, fs, out15, out14, n_p):
         # is within budget AND that undercut some frame's fitting code
         cands = []
         for pi in range(n_p):
-            cf15 = out15[:, b, pi]
-            for c in range(1, WRAP_CMAX + 1):
+            hi = int(cmax15[b, pi])
+            for c in range(1, min(WRAP_CMAX, hi - 1) + 1):
                 w = int(fs.w_lut[b, c, pi])
                 sf = int(fs.sf_lut[b, c, pi])
                 if w < 1:
                     continue
                 if ((1 << w) * sf - sf // 2) ** 2 > thr:
                     continue              # cannot pass — safe host skip
-                if not (cf15 > c).any() and not (out14[:, b, pi] > c).any():
-                    continue              # never undercuts — irrelevant
                 cands.append((c, pi, w, sf))
         if not cands:
             continue
@@ -444,17 +432,27 @@ def _wrap_refine_np(ci, st, fs, out15, out14, n_p):
             e = np.minimum(dc * dc, np.int32(cape))
             es = e.sum(axis=1, dtype=np.int64).astype(np.int32)
             ok_k[rows] = es <= thr
-        for out in (out15, out14):
-            cf_cols = {pi: out[:, b, pi].copy() for pi in range(n_p)}
-            for (c, pi, w, sf) in cands:
-                ok = ok_k[:, uidx[(w, sf)]]
-                if not ok.any():
-                    continue
-                cur = out[:, b, pi]
-                w_cur = fs.w_lut[b, cur, pi]
-                better = (ok & (c < cf_cols[pi])
-                          & ((w < w_cur) | ((w == w_cur) & (c < cur))))
-                out[:, b, pi] = np.where(better, c, cur)
+        # min candidate key (width·16 + code) per (frame, pi); the same
+        # set serves both variants: candidates have c ≤ 6, so c < out15
+        # ⟺ c < out14 (they differ only when out15 = 15, out14 = 14)
+        candmin = np.full((F, n_p), BIG, dtype=np.int32)
+        for (c, pi, w, sf) in cands:
+            ok = ok_k[:, uidx[(w, sf)]]
+            if not ok.any():
+                continue
+            key = np.int32(w * 16 + c)
+            col = candmin[:, pi]
+            upd = ok & (c < out15[:, b, pi]) & (key < col)
+            candmin[:, pi] = np.where(upd, key, col)
+        pc = np.arange(n_p)
+        o15 = out15[:, b, :n_p]
+        key15 = fs.w_lut[b, o15, pc[None, :]].astype(np.int32) * 16 + o15
+        new15 = np.minimum(candmin, key15) & 15
+        key14 = (fs.w_lut[b, 14, pc].astype(np.int32) * 16 + 14)[None, :]
+        new14 = np.where(o15 == 15,
+                         np.minimum(candmin, key14) & 15, new15)
+        out15[:, b, :n_p] = new15
+        out14[:, b, :n_p] = new14
     return out15, out14
 
 
@@ -496,7 +494,7 @@ def emit94_np(ci, st: StreamSetup, fs: FormatSetup, codes, pidx):
     keep = np.arange(16) < st.bands_keep
 
     # band-type delta codes
-    prev_rows = np.vstack([np.zeros((1, 16), np.int64), codes[:-1]])
+    prev_rows = np.vstack([np.zeros((1, 16), codes.dtype), codes[:-1]])
     deltas = codes - prev_rows
     dv = DELTA_VAL[deltas - DELTA_LO]
     db = np.where(keep[None, :], DELTA_BITS[deltas - DELTA_LO], 0)
@@ -567,12 +565,24 @@ def pack_bits(values, bits):
     return np.packbits(bitarr).tobytes()
 
 
+def skip_dup_format(formats):
+    """Under the wildcard search, (0,3) is body-identical to (0,0) — for
+    type 0 the subtype bits only flip header flags and the pre-adjustment
+    tables they select never apply — so when both are candidates the
+    search outcome is decided by (0,0) and (0,3) need not be built.  The
+    device twin applies the same rule (byte-identical winners)."""
+    pairs = [(f.fmt_type, f.sub_type) for f in formats]
+    if (0, 0) in pairs and (0, 3) in pairs:
+        return [f for f in formats if (f.fmt_type, f.sub_type) != (0, 3)]
+    return list(formats)
+
+
 def encode_stream94_np(ci, params):
     """Full single-stream encode from canonical coefficients: runs the
     format search, packs only the winner.  Returns stream bytes."""
     st = setup94(ci, params)
     best = None
-    for fs in st.formats:
+    for fs in skip_dup_format(st.formats):
         b15, b14, silent = decision_tables_np(ci, st, fs)
         codes, pidx = scan_codes_np(b15, b14, silent, st, fs)
         vals, bits = emit94_np(ci, st, fs, codes, pidx)

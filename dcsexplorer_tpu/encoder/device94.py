@@ -61,9 +61,8 @@ def _rdiv(a, s):
     x = 2.0 * af + sf
     y = 2.0 * sf
     q = jnp.floor(x / y)
-    for _ in range(2):
-        r = x - q * y
-        q = q + (r >= y).astype(jnp.float32) - (r < 0).astype(jnp.float32)
+    r = x - q * y
+    q = q + (r >= y).astype(jnp.float32) - (r < 0).astype(jnp.float32)
     return jnp.where(a < 0, -q, q).astype(jnp.int32)
 
 
@@ -116,15 +115,9 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     fit = ((mn[:, :, None, None] >= amin[None, :, 1:, :])
            & (mx[:, :, None, None] <= amax[None, :, 1:, :]))  # [F,16,15,P]
     codes15 = jnp.arange(1, 16, dtype=jnp.int32)[None, None, :, None]
-
-    def first_fit(hi):
-        ok = fit & (codes15 <= hi)
-        key = jnp.where(ok, codes15, jnp.int32(99))
-        best = jnp.min(key, axis=2)
-        return jnp.where(best < 99, best, jnp.int32(hi))  # [F,16,P]
-
-    out15 = first_fit(15)
-    out14 = first_fit(14)
+    key = jnp.where(fit, codes15, jnp.int32(99))
+    best = jnp.min(key, axis=2)
+    out15 = jnp.where(best < 99, best, jnp.int32(15))     # [F,16,P]
 
     # --- wrap refinement (core94._wrap_refine_np): candidates are codes
     # 1..WRAP_CMAX; pre-adjustment columns beyond 0 only exist for type-1
@@ -146,17 +139,17 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     bidx = jnp.arange(16, dtype=jnp.int32)
     pidx_cols = jnp.arange(PMAX, dtype=jnp.int32)
 
-    def refine(out):
-        # w_orig[f, b, p] = w_lut[b, out[f, b, p], p]
-        w_orig = w_lut[bidx[None, :, None], out, pidx_cols[None, None, :]]
-        key_orig = w_orig * 16 + out
-        cok = ok & (cands < out[:, :, None, :]) & keep[None, :, None, None]
-        key_c = jnp.where(cok, w_c[None] * 16 + cands, jnp.int32(1 << 14))
-        key = jnp.minimum(jnp.min(key_c, axis=2), key_orig)
-        return key & 15
-
-    out15 = refine(out15)
-    out14 = refine(out14)
+    # min candidate key (width·16 + code); candidates have c ≤ 6, so the
+    # c < out15 mask serves both variants (they differ only at 15 vs 14)
+    cok = ok & (cands < out15[:, :, None, :]) & keep[None, :, None, None]
+    key_c = jnp.where(cok, w_c[None] * 16 + cands, jnp.int32(1 << 14))
+    candmin = jnp.min(key_c, axis=2)                    # [F, 16, P]
+    w_orig = w_lut[bidx[None, :, None], out15, pidx_cols[None, None, :]]
+    new15 = jnp.minimum(candmin, w_orig * 16 + out15) & 15
+    key14 = w_lut[bidx[:, None], 14, pidx_cols[None, :]][None] * 16 + 14
+    out14 = jnp.where(out15 == 15,
+                      jnp.minimum(candmin, key14) & 15, new15)
+    out15 = new15
 
     # --- sequential band-type scan (core94.scan_codes_np)
     def step(prev, xs):
@@ -296,6 +289,8 @@ def setup_arrays(ci_list, params):
             raise ValueError(
                 "No available stream format types match the requested "
                 "encoding parameters")
+        if (0, 0) in sel and (0, 3) in sel:
+            sel.remove((0, 3))         # body-identical (core94.skip_dup_format)
         setups.append(st)
         for k, fs in enumerate(st.formats):
             assert (np.abs(fs.amax_lut) < (1 << 31)).all()
