@@ -577,12 +577,25 @@ def skip_dup_format(formats):
     return list(formats)
 
 
-def encode_stream94_np(ci, params):
+def encode_stream94_np(ci, params, force_numpy=False):
     """Full single-stream encode from canonical coefficients: runs the
-    format search, packs only the winner.  Returns stream bytes."""
+    format search, packs only the winner.  Returns stream bytes.
+
+    Prefers the native scalar core (native/src/encoder94.cpp, byte-identical
+    by construction and by test); force_numpy pins the vectorized numpy
+    implementation (used by the parity tests and as the fallback)."""
     st = setup94(ci, params)
+    formats = skip_dup_format(st.formats)
+    if not force_numpy:
+        from .. import native
+        r = native.encode94_search(ci, formats, st.bands_keep, st.thr,
+                                   st.sil_max)
+        if r is not None:
+            k, body = r
+            return (st.n_frames.to_bytes(2, "big") + formats[k].header
+                    + body)
     best = None
-    for fs in skip_dup_format(st.formats):
+    for fs in formats:
         b15, b14, silent = decision_tables_np(ci, st, fs)
         codes, pidx = scan_codes_np(b15, b14, silent, st, fs)
         vals, bits = emit94_np(ci, st, fs, codes, pidx)

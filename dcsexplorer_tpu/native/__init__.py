@@ -28,7 +28,7 @@ def get_lib():
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
     srcs = [os.path.join(src_dir, f)
             for f in ("dcs_native.cpp", "flac.cpp", "mp3.cpp",
-                      "vorbis.cpp", "adsp2105.cpp")]
+                      "vorbis.cpp", "adsp2105.cpp", "encoder94.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -74,6 +74,13 @@ def get_lib():
     lib.dcs_pack_bits.restype = C.c_int64
     lib.dcs_pack_bits.argtypes = [C.c_void_p, C.c_void_p, C.c_int64,
                                   C.c_void_p, C.c_int64]
+    lib.dcs94_encode_search.restype = C.c_int64
+    lib.dcs94_encode_search.argtypes = (
+        [C.c_void_p, C.c_int, C.c_int, C.c_int]
+        + [C.c_void_p] * 7
+        + [C.c_void_p, C.c_int, C.c_int, C.c_void_p]
+        + [C.c_int, C.c_int] + [C.c_void_p] * 6
+        + [C.c_void_p, C.c_int64, C.c_void_p])
     _lib = lib
     return _lib
 
@@ -96,6 +103,50 @@ def pack_bits(values, bits):
     if n < 0:
         raise RuntimeError("bit packer capacity exceeded")
     return out[:n].tobytes()
+
+
+def encode94_search(ci, formats, bands_keep, thr, sil_max):
+    """Run the native stream-format search (src/encoder94.cpp): the full
+    decision pipeline for every FormatSetup candidate, keeping the smallest.
+
+    ci [F, 255] int32; formats: list of core94.FormatSetup; thr [16] int32.
+    Returns (winner_index, body_bytes), or None if the native library is
+    unavailable (caller falls back to the numpy core)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..encoder import core94 as c94
+    NF = len(formats)
+    ci = np.ascontiguousarray(ci, dtype=np.int32)
+    F = ci.shape[0]
+    stack = lambda key: np.ascontiguousarray(
+        np.stack([getattr(fs, key) for fs in formats]), dtype=np.int32)
+    w_lut, sf_lut = stack("w_lut"), stack("sf_lut")
+    amin, amax = stack("amin_lut"), stack("amax_lut")
+    pip = stack("pidx_of_prev")
+    dep = np.ascontiguousarray(
+        [fs.fmt_type == 1 for fs in formats], dtype=np.int32)
+    n_p = np.ascontiguousarray([fs.n_p for fs in formats], dtype=np.int32)
+    thr = np.ascontiguousarray(thr, dtype=np.int32)
+    bsz = np.ascontiguousarray(c94.BAND_SIZES, dtype=np.int32)
+    dval = np.ascontiguousarray(c94.DELTA_VAL, dtype=np.int32)
+    dbits = np.ascontiguousarray(c94.DELTA_BITS, dtype=np.int32)
+    cbc = np.ascontiguousarray(c94.CB_CODE, dtype=np.int32)
+    cbb = np.ascontiguousarray(c94.CB_BITS, dtype=np.int32)
+    tzc = np.ascontiguousarray(c94.TZ_CODE, dtype=np.int32)
+    tzb = np.ascontiguousarray(c94.TZ_BITS, dtype=np.int32)
+    cap = F * 600 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    winner = np.zeros(1, dtype=np.int32)
+    p = lambda a: a.ctypes.data_as(C.c_void_p)
+    n = lib.dcs94_encode_search(
+        p(ci), F, NF, int(c94.PMAX), p(w_lut), p(sf_lut), p(amin), p(amax),
+        p(pip), p(dep), p(n_p), p(thr), int(bands_keep), int(sil_max),
+        p(bsz), int(c94.DELTA_LO), int(dval.size), p(dval), p(dbits),
+        p(cbc), p(cbb), p(tzc), p(tzb), p(out), cap, p(winner))
+    if n < 0:
+        raise RuntimeError(f"native encode failed: {n}")
+    return int(winner[0]), out[:n].tobytes()
 
 
 class NativeDecode:
