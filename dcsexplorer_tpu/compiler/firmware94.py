@@ -52,8 +52,12 @@ from .asm import (ABS, AC, ADD, ADD_C, AF, AND, AR, ASHIFT_HI, ASHIFT_LO,
                   Y_DEC, Y_INC, ZERO, Asm)
 
 # ----------------------------------------------------------------------
-# DM memory map
+# DM memory map.  On the original DCS board (hw 2) firmware data starts at
+# DM $0000; on DCS-95 (hw 3) DM $0000-$07FF is the banked ROM window
+# (emu/board.py::_read_dm; reference: DCSDecoderEmu.cpp:397-591), so the
+# whole map shifts up by $0800 (set by _configure below).
 
+DM_BASE = 0            # 0 (DCS board) or 0x0800 (DCS-95)
 FB = 0x0000            # 512-entry frequency-domain frame buffer
 BUF = 0x0200           # SPORT1 autobuffer (480 = 2 × 240 PCM)
 NBUF = 480
@@ -81,7 +85,7 @@ S_HDR = 16             # header copy (16)
 S_BT = 32              # band-type accumulators (16)
 
 _SCALARS = """VOL_NOM VOL_MULT VSHIFT NDP DPW DPE DPTMO CQH CQT
-TIX_HI TIX_LO DIX_HI DIX_LO NTRK DONE XCH DCH CURBANK
+TIX_HI TIX_LO DIX_HI DIX_LO NTRK DONE XCH DCH CURBANK BSEL
 P_HI P_LO SV_HI SV_LO B_CHI B_CLO B_WHI B_WLO B_NB
 CHB STB OUTB1 FMT PRE0 PRE1 PRE2
 OUTIDX OUTINC OUTCNT BANDNO BTYPE SCODE CURHDR MW CBB REFV ICNT ERRF
@@ -89,6 +93,29 @@ NPART PSIZE HALF LVLC SUM0LO SUM0HI SUM1LO SUM1HI
 WPTR Q_HI Q_LO TMP0 TMP1 TMP2 TMP3 TMP4""".split()
 
 SYM = {name: SC + k for k, name in enumerate(_SCALARS)}
+
+
+def _configure(hw_version):
+    """Point the DM map (and the table layout, which embeds absolute DM
+    addresses) at the target board.  SYM is mutated in place so emit-time
+    lookups and importers of the dict both see the configured map."""
+    global DM_BASE, FB, BUF, BUF_MID, OVLB, TAB, CH, ST, MIXA, VARS, CMDQ, SC
+    global TABLE_WORDS, TLAY
+    DM_BASE = 0x0800 if hw_version == 3 else 0
+    FB = DM_BASE + 0x0000
+    BUF = DM_BASE + 0x0200
+    BUF_MID = BUF + 240
+    OVLB = DM_BASE + 0x03E0
+    TAB = DM_BASE + 0x0400
+    CH = DM_BASE + 0x0E00
+    ST = DM_BASE + 0x1000
+    MIXA = DM_BASE + 0x1200
+    VARS = DM_BASE + 0x1300
+    CMDQ = DM_BASE + 0x1400
+    SC = DM_BASE + 0x1480
+    SYM.clear()
+    SYM.update({name: SC + k for k, name in enumerate(_SCALARS)})
+    TABLE_WORDS, TLAY = _table_words()
 
 
 # ----------------------------------------------------------------------
@@ -136,10 +163,32 @@ def table_blob():
 # ----------------------------------------------------------------------
 
 class _Fw(Asm):
-    """Asm with firmware-specific helper idioms."""
+    """Asm with firmware-specific helper idioms.
+
+    ``hw`` selects the board I/O contract: 2 = original DCS board (sound
+    data port at PM($3000) via I5/M5, 4KB ROM window at DM($2000), bank at
+    DM($3000)); 3 = DCS-95 (port at DM($3300), 2KB window at DM($0000),
+    bank split across DM($3000)/DM($3100)) — emu/board.py, reference:
+    DCSDecoderEmu.cpp:397-591."""
+
+    hw = 2
 
     def c16(self, reg, val):
         return self.imm(reg, val & 0xFFFF)
+
+    def port_out(self, reg):
+        """Write reg to the sound data port."""
+        if self.hw == 3:
+            self.st(0x3300, reg)
+        else:
+            self.st_pm(I5, M5, reg)
+
+    def port_in(self, reg):
+        """Read the sound data port into reg."""
+        if self.hw == 3:
+            self.ld(reg, 0x3300)
+        else:
+            self.ld_pm(reg, I5, M5)
 
     def lds(self, reg, sym):
         return self.ld(reg, SYM[sym])
@@ -187,8 +236,10 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     DCS ROM programs use.  symbols maps routine labels and DM names to
     addresses (used by the tests/test_firmware94.py harnesses).
     """
-    assert hw_version == 2, "decoding firmware currently targets the DCS-93 board"
+    assert hw_version in (2, 3), hw_version
+    _configure(hw_version)
     a = _Fw()
+    a.hw = hw_version
 
     # ------------------------------------------------------------------
     # vectors
@@ -215,10 +266,21 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     # second-stage loader: copy the overlay from ROM into PM $0800.
     # Inline byte reader (the shared one lives in the not-yet-loaded
     # overlay): I1 walks the DM ROM window, with explicit bank bumps.
-    a.c16(AX0, OVERLAY_ROM_ADDR >> 12)  # current bank
-    a.st(0x3000, AX0)
+    # hw2: 4KB window at DM($2000), bank = addr>>12 at DM($3000);
+    # hw3: 2KB window at DM($0000), bank = addr>>11 split across
+    #      DM($3000) low 8 / DM($3100) bits {0, 4:2}.
+    if hw_version == 3:
+        win_base, win_end, bank_shift = 0x0000, 0x0800, 11
+    else:
+        win_base, win_end, bank_shift = 0x2000, 0x3000, 12
+    bank0 = OVERLAY_ROM_ADDR >> bank_shift
+    a.c16(AX0, bank0)                   # current bank
     a.sts("CURBANK", AX0)
-    a.imm(I1, 0x2000 | (OVERLAY_ROM_ADDR & 0xFFF))
+    if hw_version == 3:
+        a.call("set_bank95")
+    else:
+        a.st(0x3000, AX0)
+    a.imm(I1, win_base | (OVERLAY_ROM_ADDR & (win_end - win_base - 1)))
     a.imm(I6, OVERLAY_PM)
     ld_n = a.imm(CNTR, 0x1FFF)          # real count patched by the builder
     with a.loop_ce():
@@ -239,20 +301,44 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     a.label("ld_byte")                  # loader-local window read + bank bump
     a.ld_i(AR, I1, M1)                  # the byte (valid even when last
     a.mov(AX0, I1)                      # in the window: wrap is post-read)
-    a.cmp_imm(AX0, 0x3000)
+    a.cmp_imm(AX0, win_end)
     a.rts(NE)
     a.mov(MX1, AR)
     a.lds(AY0, "CURBANK")
     a.alu(AR, Y_INC, None, AY0)
-    a.st(0x3000, AR)
     a.sts("CURBANK", AR)
-    a.imm(I1, 0x2000)
+    if hw_version == 3:
+        a.call("set_bank95")
+    else:
+        a.st(0x3000, AR)
+    a.imm(I1, win_base)
     a.mov(AR, MX1)
     a.rts()
 
+    if hw_version == 3:
+        # bank13 in CURBANK → DCS-95 bank registers (board recomputes the
+        # window from both on each write; clobbers SI, SR, AR, AY0)
+        a.label("set_bank95")
+        a.lds(SI, "CURBANK")
+        a.shift_imm(LSHIFT_LO, SI, -8)
+        a.mov(AR, SR0)
+        a.and_imm(AR, 1)                # offset bit 19
+        a.sts("BSEL", AR)
+        a.lds(SI, "CURBANK")
+        a.shift_imm(LSHIFT_LO, SI, -7)
+        a.mov(AR, SR0)
+        a.and_imm(AR, 0x1C)             # chip select bits
+        a.lds(AY0, "BSEL")
+        a.alu(AR, OR, AR, AY0)
+        a.st(0x3100, AR)
+        a.lds(AR, "CURBANK")
+        a.and_imm(AR, 0xFF)
+        a.st(0x3000, AR)
+        a.rts()
+
     a.label("init2")
-    # clear FB..scalars (0x0000-0x15FF)
-    a.imm(I0, 0)
+    # clear FB..scalars
+    a.imm(I0, FB)
     with a.loop_ce(n=0x1600):
         a.st_i_imm(I0, M1, 0)
 
@@ -401,23 +487,39 @@ def overlay_blob(overlay_words):
 
 def _emit_byte_reader(a, hi, lo, label):
     """Emit a routine reading one byte at the (hi, lo) pointer scalars,
-    post-incrementing.  Returns byte in AR.  Clobbers AY0, SI, SR, I2;
-    preserves AX0, AX1, AY1, MX*, MY*, MR, I0, I1, SE."""
+    post-incrementing.  Returns byte in AR.  Clobbers AY0, SI, SR, I2 (on
+    DCS-95 also the BSEL scalar); preserves AX0, AX1, AY1, MX*, MY*, MR,
+    I0, I1, SE."""
     a.label(label)
-    a.ld(SI, lo)
-    a.shift_imm(LSHIFT_LO, SI, -12)     # SR0 = lo>>12
-    a.ld(SI, hi)
-    a.shift_imm(LSHIFT_LO_OR, SI, 4)    # SR0 |= hi<<4  → bank number
-    a.lds(AY0, "CURBANK")
-    a.alu(AF, SUB, SR0, AY0)
-    a.jump(label + "_b", EQ)
-    a.st(0x3000, SR0)                   # bank select
-    a.sts("CURBANK", SR0)
-    a.label(label + "_b")
-    a.ld(AR, lo)
-    a.and_imm(AR, 0x0FFF)
-    a.add_imm(AR, 0x2000)
-    a.mov(I2, AR)
+    if a.hw == 3:
+        a.ld(SI, lo)
+        a.shift_imm(LSHIFT_LO, SI, -11)  # SR0 = lo>>11
+        a.ld(SI, hi)
+        a.shift_imm(LSHIFT_LO_OR, SI, 5)  # SR0 |= hi<<5 → bank13
+        a.lds(AY0, "CURBANK")
+        a.alu(AF, SUB, SR0, AY0)
+        a.jump(label + "_b", EQ)
+        a.sts("CURBANK", SR0)
+        a.call("set_bank95")            # split bank regs (boot block)
+        a.label(label + "_b")
+        a.ld(AR, lo)
+        a.and_imm(AR, 0x07FF)           # 2KB window at DM($0000)
+        a.mov(I2, AR)
+    else:
+        a.ld(SI, lo)
+        a.shift_imm(LSHIFT_LO, SI, -12)  # SR0 = lo>>12
+        a.ld(SI, hi)
+        a.shift_imm(LSHIFT_LO_OR, SI, 4)  # SR0 |= hi<<4  → bank number
+        a.lds(AY0, "CURBANK")
+        a.alu(AF, SUB, SR0, AY0)
+        a.jump(label + "_b", EQ)
+        a.st(0x3000, SR0)               # bank select
+        a.sts("CURBANK", SR0)
+        a.label(label + "_b")
+        a.ld(AR, lo)
+        a.and_imm(AR, 0x0FFF)
+        a.add_imm(AR, 0x2000)
+        a.mov(I2, AR)
     # post-increment the pointer (16-bit lo with carry into hi)
     a.c16(AR, 1)
     a.ld(AY0, lo)
@@ -554,7 +656,7 @@ def _emit_irq2(a, reported_version):
     RTI restores MSTAT (and with it the primary bank)."""
     a.label("irq2")
     a.ena_sec_reg()
-    a.ld_pm(AX1, I5, M5)                # AX1 = port byte
+    a.port_in(AX1)                      # AX1 = port byte
     a.lds(AX0, "DPTMO")
     a.cmp_imm(AX0, 13)
     a.jump("i2_a", LT)
@@ -601,11 +703,11 @@ def _emit_irq2(a, reported_version):
     a.jump("i2_out")
     a.label("i2_vhi")
     a.c16(AR, (reported_version >> 8) & 0xFF)
-    a.st_pm(I5, M5, AR)
+    a.port_out(AR)
     a.jump("i2_drop")
     a.label("i2_vlo")
     a.c16(AR, reported_version & 0xFF)
-    a.st_pm(I5, M5, AR)
+    a.port_out(AR)
     a.jump("i2_drop")
     a.label("i2_ne1")                   # not in the 55xx special ranges
     a.cmp_imm(AX0, 0x8000)
@@ -1106,7 +1208,7 @@ def _emit_vm(a):
     # --- $04: write data port -----------------------------------------
     a.label("xt_op04")
     a.call("rd8")
-    a.st_pm(I5, M5, AR)
+    a.port_out(AR)
     a.jump("xt_step")
 
     # --- $05: start deferred track ------------------------------------
@@ -1742,7 +1844,7 @@ def _emit_decode(a):
     a.label("hw_done")
 
     # band loop
-    a.c16(AR, 1)
+    a.c16(AR, FB + 1)
     a.sts("OUTIDX", AR)
     a.c16(AR, 0)
     a.sts("BANDNO", AR)
@@ -1998,8 +2100,8 @@ def _emit_transform(a):
     a.st(FB + 0x81, MR1)
     a.ena_ar_sat()
     # pre-pass 1: center/ends fold, scaled by $8000
-    a.imm(I0, 0)                        # p0
-    a.imm(I1, 0x100)                    # p1
+    a.imm(I0, FB)                       # p0
+    a.imm(I1, FB + 0x100)               # p1
     a.imm(M3, -3)
     with a.loop_ce(n=0x40):
         a.ld_i(AX0, I0, M1)             # x0
@@ -2019,8 +2121,8 @@ def _emit_transform(a):
         a.mac(MR, MUL_SS, AR, MY0)
         a.st_i(I1, M3, MR1)             # fb[p1+1]; p1 -= 2
     # pre-pass 2: complex twiddle fold with bit-reversed coefficients
-    a.imm(I0, 0)                        # p4
-    a.imm(I4, 0x100)                    # p5 (DAG2: M6=+1, M7=-3)
+    a.imm(I0, FB)                       # p4
+    a.imm(I4, FB + 0x100)               # p5 (DAG2: M6=+1, M7=-3)
     a.imm(M7, -3)
     a.imm(I2, TLAY["T_BR"] + 2)         # BITREV walk for i0 (step 4)
     a.imm(I3, TLAY["T_BR"])             # BITREV walk for i1 (step 4)
@@ -2054,8 +2156,8 @@ def _emit_transform(a):
         a.alu(AR, SUB, AX0, AY1)        # prod0 − x1
         a.st_i(I4, M7, AR)              # fb[p5+1]; p5 -= 2
     # pre-pass 3: butterfly halves
-    a.imm(I0, 0)
-    a.imm(I1, 0x80)
+    a.imm(I0, FB)
+    a.imm(I1, FB + 0x80)
     with a.loop_ce(n=0x40):
         a.ld_i(AY0, I0, M1)             # x0
         a.ld_i(AY1, I0, M2)             # x1
@@ -2077,10 +2179,11 @@ def _emit_transform(a):
     a.c16(AR, 6)
     a.sts("LVLC", AR)
     a.label("tf_level")
-    a.imm(I0, 0)                        # p0
+    a.imm(I0, FB)                       # p0
     a.lds(AR, "PSIZE")
-    a.mov(I1, AR)                       # p1 = partition size
     a.mov(M3, AR)                       # partition skip
+    a.add_imm(AR, FB)
+    a.mov(I1, AR)                       # p1 = FB + partition size
     a.lds(SI, "PSIZE")
     a.shift_imm(LSHIFT_LO, SI, -1)
     a.sts("HALF", SR0)
@@ -2129,7 +2232,7 @@ def _emit_transform(a):
     a.lds(AY0, "VSHIFT")
     a.alu(AR, NEG_Y, None, AY0)
     a.mov(SE, AR)
-    a.imm(I0, 0)
+    a.imm(I0, FB)
     with a.loop_ce(n=0x100):
         a.ld_i(SI, I0, M0)
         a.shift_se(ASHIFT_HI, SI)
@@ -2142,6 +2245,8 @@ def _emit_transform(a):
     a.imm(I4, OVLB)                     # overlap buffer (DAG2)
     with a.loop_ce(n=8):
         a.ld_i(AR, I1, M3)              # bi = BITREV[i]
+        if FB:
+            a.add_imm(AR, FB)
         a.mov(I0, AR)
         for _ in range(2):
             a.ld_i(MX0, I0, M0)         # fb[bi]
@@ -2158,6 +2263,8 @@ def _emit_transform(a):
     a.mov(I2, AR)
     with a.loop_ce(n=120):
         a.ld_i(AR, I1, M3)
+        if FB:
+            a.add_imm(AR, FB)
         a.mov(I0, AR)
         a.ld_i(AX0, I0, M1)
         a.st_i(I2, M1, AX0)
@@ -2167,6 +2274,8 @@ def _emit_transform(a):
     a.imm(I3, OVLB)
     with a.loop_ce(n=8):
         a.ld_i(AR, I1, M3)
+        if FB:
+            a.add_imm(AR, FB)
         a.mov(I0, AR)
         a.ld_i(AX0, I0, M1)
         a.st_i(I3, M1, AX0)

@@ -152,18 +152,21 @@ class RomBuilder:
         u2.write(0x0000, bytes([0x18, 0x00, 0x0F, 0xFF]))
         sig = spec.signature.encode("ascii", "replace")[:119] + b"\x00"
         u2.write(0x0004, sig)
-        # Soft-boot program at $1000.  OS94 ROMs carry the full synthesized
-        # *decoding* firmware (compiler/firmware94.py): boot block + PM
-        # overlay + decoder tables, so the emulator backend plays their
-        # audio, bit-exact against the native decoder.  Other versions get
-        # the minimal mini-firmware (silence + data-port service).  The
-        # first boot word is the JUMP the U2 identification heuristics look
+        # Soft-boot program at $1000.  OS94 and OS95 ROMs carry the full
+        # synthesized *decoding* firmware (compiler/firmware94.py, built
+        # for the matching board map): boot block + PM overlay + decoder
+        # tables, so the emulator backend plays their audio, bit-exact
+        # against the native decoder.  OS93b ROMs carry the 1993-format
+        # decoding firmware (compiler/firmware93.py).  OS93a gets the
+        # minimal mini-firmware (silence + data-port service).  The first
+        # boot word is the JUMP the U2 identification heuristics look
         # for.  ($2000 keeps a JUMP for DCS-95-style layouts.)
         from .firmware import build_firmware, encode_boot_block
-        if spec.os_version == OS94:
+        if spec.os_version in (OS94, OS95):
             from . import firmware94 as fw94
             boot, overlay, _ = fw94.build_decoder_firmware(
-                catalog_ofs=self.catalog_ofs)
+                catalog_ofs=self.catalog_ofs,
+                hw_version=3 if self.is95 else 2)
             u2.write(0x1000, encode_boot_block(boot))
             u2.write(fw94.OVERLAY_ROM_ADDR, fw94.overlay_blob(overlay))
             u2.write(fw94.TABLES_ROM_ADDR, fw94.table_blob())

@@ -26,11 +26,11 @@ def _music(n, seed):
     return pcm.astype(np.float32)
 
 
-def _build_zip():
+def _build_zip(os_version=rd.OS94):
     s1, _ = encode_pcm(_music(2400, 1))
     s2, _ = encode_pcm(_music(1700, 2),
                        CompressionParams(stream_format_type=1))
-    spec = g.RomSpec(os_version=rd.OS94, num_channels=6)
+    spec = g.RomSpec(os_version=os_version, num_channels=6)
     spec.streams = {"s1": bytes(s1), "s2": bytes(s2)}
     spec.tracks = [
         g.TrackSpec(0, steps=[g.op_end()]),
@@ -49,10 +49,10 @@ def _build_zip():
     return g.RomBuilder(spec).build_zip()
 
 
-def _decoders():
-    rs, _ = zipload.load_zip_data(_build_zip())
+def _decoders(os_version=rd.OS94):
+    rs, _ = zipload.load_zip_data(_build_zip(os_version))
     assert rs.check() == 1
-    assert rs.os_version == rd.OS94
+    assert rs.os_version == os_version
     emu = EmulatedDecoder()
     nat = rd.ReferenceDecoder()
     for dec in (emu, nat):
@@ -106,3 +106,37 @@ def test_emulator_multivoice_fades_volume_bit_exact():
         f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")
     # host-bound data-port traffic agrees too
     assert emu.host.rx == nat.host.rx
+
+
+def test_emulator_os95_board_bit_exact():
+    """DCS-95 board map (hw 3): the same synthesized decoding firmware,
+    rebuilt for the relocated DM map, split bank registers, and the
+    DM($3300) data port (reference: DCSDecoderEmu.cpp:397-591) — emulator
+    PCM must bit-match the native decoder on an OS95 compiler ROM."""
+    emu, nat = _decoders(rd.OS95)
+    assert emu.hw_version == 3
+    script = {
+        0: [0x00, 0x01],
+        720: [0x00, 0x02],
+        1680: [0x55, 0xAA, 0x70, 0x8F],         # master volume change
+        2880: [0x55, 0xAC, 0x60, 0x9F],         # channel-volume command
+    }
+    n = 24
+    pcm_e = _drive(emu, script, n)
+    pcm_n = _drive(nat, script, n)
+    assert any(v != 0 for v in pcm_n), "native produced silence"
+    diff = [i for i, (a, b) in enumerate(zip(pcm_e, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")
+    assert emu.host.rx == nat.host.rx
+
+
+def test_emulator_os95_version_query_port():
+    """55C2/C3 version queries reply through the DCS-95 data port."""
+    emu, _ = _decoders(rd.OS95)
+    for b in (0x55, 0xC2, 0x55, 0xC3):
+        emu.write_data_port(b)
+    for _ in range(480):
+        emu.get_next_sample()
+    assert bytes(emu.host.rx) == b"\x01\x06"
