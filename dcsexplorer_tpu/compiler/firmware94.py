@@ -90,7 +90,8 @@ P_HI P_LO SV_HI SV_LO B_CHI B_CLO B_WHI B_WLO B_NB
 CHB STB OUTB1 FMT PRE0 PRE1 PRE2
 OUTIDX OUTINC OUTCNT BANDNO BTYPE SCODE CURHDR MW CBB REFV ICNT ERRF
 NPART PSIZE HALF LVLC SUM0LO SUM0HI SUM1LO SUM1HI
-WPTR Q_HI Q_LO TMP0 TMP1 TMP2 TMP3 TMP4""".split()
+WPTR Q_HI Q_LO TMP0 TMP1 TMP2 TMP3 TMP4
+PRV_IN PRV_DL BSUB REUSE OUTFIX OSTR FBAND""".split()
 
 SYM = {name: SC + k for k, name in enumerate(_SCALARS)}
 
@@ -172,6 +173,7 @@ class _Fw(Asm):
     DCSDecoderEmu.cpp:397-591."""
 
     hw = 2
+    os93 = False        # 1993-software VM grammar (op $06 has no operands)
 
     def c16(self, reg, val):
         return self.imm(reg, val & 0xFFFF)
@@ -225,7 +227,8 @@ FW_RESERVE = (0x8000, TABLES_ROM_ADDR + 2 * len(TABLE_WORDS))
 
 
 def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
-                           reported_version=0x0106, default_volume=0x67):
+                           reported_version=0x0106, default_volume=0x67,
+                           _variant=None):
     """Assemble the OS94 decoding firmware.
 
     Returns (boot_words, overlay_words, symbols).  boot_words is the
@@ -240,6 +243,10 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     _configure(hw_version)
     a = _Fw()
     a.hw = hw_version
+    if _variant is not None:
+        a.os93 = _variant.get("os93", False)
+    table_words = (TABLE_WORDS if _variant is None
+                   else _variant["table_words"])
 
     # ------------------------------------------------------------------
     # vectors
@@ -371,7 +378,7 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     a.c16(AR, TABLES_ROM_ADDR & 0xFFFF)
     a.sts("P_LO", AR)
     a.imm(I1, TAB)
-    with a.loop_ce(n=len(TABLE_WORDS)):
+    with a.loop_ce(n=len(table_words)):
         a.call("rd16")
         a.st_i(I1, M1, AR)
 
@@ -455,8 +462,12 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     _emit_sweep_and_drain(a)
     _emit_vm(a)
     _emit_volume(a)
-    _emit_decode(a)
-    _emit_transform(a)
+    if _variant is None:
+        _emit_decode(a)
+        _emit_transform(a)
+    else:
+        _variant["emit_decode"](a)
+        _variant["emit_transform"](a)
     _emit_mix_update(a)
 
     words = a.assemble()
@@ -467,7 +478,7 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     words[ld_n] = (words[ld_n] & ~0x3FFF0) | ((len(overlay) & 0x3FFF) << 4)
     boot = words[:boot_len]
     syms = dict(SYM)
-    syms.update(TLAY)
+    syms.update(TLAY if _variant is None else _variant["tlay"])
     syms.update(a.labels)
     return boot, overlay, syms
 
@@ -1265,14 +1276,18 @@ def _emit_vm(a):
     a.call("enqueue")                   # AR = link
     a.jump("xt_step")
 
-    # --- $06: set variable --------------------------------------------
+    # --- $06: set variable (1993 software: a no-op with no operands,
+    # refdec _exec_track) -----------------------------------------------
     a.label("xt_op06")
-    a.call("rd8")
-    a.add_imm(AR, VARS)
-    a.mov(I1, AR)
-    a.call("rd8")
-    a.st_i(I1, M0, AR)
-    a.jump("xt_step")
+    if a.os93:
+        a.jump("xt_step")
+    else:
+        a.call("rd8")
+        a.add_imm(AR, VARS)
+        a.mov(I1, AR)
+        a.call("rd8")
+        a.st_i(I1, M0, AR)
+        a.jump("xt_step")
 
     # --- $07-$0C: mixing level ops ------------------------------------
     a.label("xt_mix")
@@ -1619,6 +1634,14 @@ def _emit_volume(a):
 def _emit_decode(a):
     """94x frame decode for every playing channel (refdec/frames.py::
     decompress_frame_94x; reference: DCSDecoderNative.cpp:1679-2261)."""
+    _emit_decode_driver(a)
+    _emit_dec_frame94(a)
+
+
+def _emit_decode_driver(a):
+    """Per-channel decode driver: playback gating, header copy on first
+    decode, bit-cursor save/restore, frame/loop counters (refdec
+    _decode_stream; shared by the 93 firmware, compiler/firmware93.py)."""
     a.label("decode_all")
     a.c16(AR, 0)
     a.sts("DCH", AR)
@@ -1747,7 +1770,8 @@ def _emit_decode(a):
     a.st_i_imm(I1, M0, 0xFFFF)
     a.rts()
 
-    # ------------------------------------------------------------------
+
+def _emit_dec_frame94(a):
     a.label("dec_frame")
     a.ena_int()
     a.c16(AR, 0)

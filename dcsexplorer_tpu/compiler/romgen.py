@@ -171,6 +171,14 @@ class RomBuilder:
             u2.write(fw94.OVERLAY_ROM_ADDR, fw94.overlay_blob(overlay))
             u2.write(fw94.TABLES_ROM_ADDR, fw94.table_blob())
             self._fw_reserve_end = fw94.FW_RESERVE[1]
+        elif spec.os_version == OS93B:
+            from . import firmware93 as fw93
+            boot, overlay, _ = fw93.build_decoder_firmware(
+                catalog_ofs=self.catalog_ofs)
+            u2.write(0x1000, encode_boot_block(boot))
+            u2.write(fw93.OVERLAY_ROM_ADDR, fw93.overlay_blob(overlay))
+            u2.write(fw93.TABLES_ROM_ADDR, fw93.table_blob())
+            self._fw_reserve_end = fw93.FW_RESERVE[1]
         else:
             u2.write(0x1000, encode_boot_block(
                 build_firmware(3 if self.is95 else 2)))

@@ -27,9 +27,11 @@ def _music(n, seed):
 
 
 def _build_zip(os_version=rd.OS94):
-    s1, _ = encode_pcm(_music(2400, 1))
+    enc_os = rd.OS93B if os_version == rd.OS93B else None
+    s1, _ = encode_pcm(_music(2400, 1), os_version=enc_os)
     s2, _ = encode_pcm(_music(1700, 2),
-                       CompressionParams(stream_format_type=1))
+                       CompressionParams(stream_format_type=1),
+                       os_version=enc_os)
     spec = g.RomSpec(os_version=os_version, num_channels=6)
     spec.streams = {"s1": bytes(s1), "s2": bytes(s2)}
     spec.tracks = [
@@ -120,6 +122,29 @@ def test_emulator_os95_board_bit_exact():
         720: [0x00, 0x02],
         1680: [0x55, 0xAA, 0x70, 0x8F],         # master volume change
         2880: [0x55, 0xAC, 0x60, 0x9F],         # channel-volume command
+    }
+    n = 24
+    pcm_e = _drive(emu, script, n)
+    pcm_n = _drive(nat, script, n)
+    assert any(v != 0 for v in pcm_n), "native produced silence"
+    diff = [i for i, (a, b) in enumerate(zip(pcm_e, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")
+    assert emu.host.rx == nat.host.rx
+
+
+def test_emulator_os93b_bit_exact():
+    """1993 format family: emulator PCM (synthesized firmware93 — 93
+    decompressor incl. the replicated rounding anomaly + 7-iteration
+    transform, reference: DCSDecoderNative.cpp:2293-2615, :614-813) must
+    bit-match the native decoder on an OS93b compiler ROM."""
+    emu, nat = _decoders(rd.OS93B)
+    assert emu.hw_version == 2
+    script = {
+        0: [0x00, 0x01],
+        720: [0x00, 0x02],                      # second voice + fade
+        1680: [0x55, 0xAA, 0x70, 0x8F],         # master volume change
     }
     n = 24
     pcm_e = _drive(emu, script, n)
