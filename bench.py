@@ -15,9 +15,13 @@ Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
                   starts, per-session volumes) through the ROM-session
                   pipeline (host VM traces control vectors, device does
                   decode + mix + transform), the BASELINE #2 shape.
-- enc94         — the batched encoder (BASELINE #4): data parallel over
-                  files, each running the x4 format-candidate search.
-                  Host-bound; reported in x realtime across the pool.
+- enc94         — the host-native batched encoder (BASELINE #4): BLAS
+                  analysis + the integer-canonical C++ format search,
+                  end-to-end PCM → stream bytes across the worker pool.
+- enc94_dev     — the same work on the chip: the whole format search as
+                  one jitted device program; only the winner's per-frame
+                  decisions return and the host re-derives the emission.
+                  Byte-identical to enc94; end-to-end timed.
 
 ``vs_baseline`` compares the headline against the reference's native-
 decoder floor of ~20× realtime on one CPU core (BASELINE.md).
@@ -208,17 +212,11 @@ def bench_session6(iters):
     return n_sessions * n_frames * 240 / 31250.0 / dt
 
 
-def bench_enc94(iters):
-    """Batched encoder: data parallel over files, each running the x4
-    format-candidate search (BASELINE #4; SURVEY.md sect. 2.5).  Reports
-    encoded audio seconds per wall second across the process pool."""
+def _enc_jobs(n_files, seconds=2.0):
     import numpy as np
-    from dcsexplorer_tpu.encoder import encoder as enc
-
     rate = 31250
-    n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "8"))
     rng = np.random.default_rng(7)
-    t = np.arange(rate * 2) / rate
+    t = np.arange(int(rate * seconds)) / rate
     jobs = []
     for k in range(n_files):
         x = np.zeros_like(t)
@@ -228,26 +226,47 @@ def bench_enc94(iters):
         x += 0.01 * rng.standard_normal(t.size)
         pcm = x / np.abs(x).max() * 0.8
         jobs.append(((pcm * 32767).astype(np.int16), rate))
+    return jobs, n_files * seconds
 
-    # children re-initialize JAX; pin them to CPU so a fleet of encoder
-    # workers never contends for the chip the decode configs are timing
-    prev = os.environ.get("JAX_PLATFORMS")
-    os.environ["JAX_PLATFORMS"] = prev or "cpu"
-    try:
-        audio_s = n_files * 2.0
-        best = None
-        for _ in range(max(1, iters // 2)):
-            t0 = time.perf_counter()
-            out = enc.encode_files(jobs)
-            dt = time.perf_counter() - t0
-            assert all(nf > 0 for (_, nf) in out)
-            best = dt if best is None else min(best, dt)
-        return audio_s / best
-    finally:
-        if prev is None:
-            os.environ.pop("JAX_PLATFORMS", None)
-        else:
-            os.environ["JAX_PLATFORMS"] = prev
+
+def bench_enc94(iters):
+    """Host-native batched encoder (BASELINE #4): numpy/BLAS analysis +
+    the integer-canonical C++ format search per file.  End-to-end from
+    int16 PCM to stream bytes, ×realtime across the worker pool."""
+    from dcsexplorer_tpu.encoder import encoder as enc
+
+    n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "16"))
+    jobs, audio_s = _enc_jobs(n_files)
+    best = None
+    for _ in range(max(2, iters // 2)):
+        t0 = time.perf_counter()
+        out = enc.encode_files(jobs)
+        dt = time.perf_counter() - t0
+        assert all(nf > 0 for (_, nf) in out)
+        best = dt if best is None else min(best, dt)
+    return audio_s / best
+
+
+def bench_enc94_dev(iters):
+    """On-chip batched encoder (BASELINE #4 on the TPU): the full format-
+    candidate search — decision tables, wrap refinement, band-type scan,
+    exact per-format sizes, winner selection — runs as one jitted device
+    program over the whole batch; only the winner's per-frame decisions
+    (32 bytes/frame) come back, and the host re-derives the emission.
+    End-to-end from int16 PCM to stream bytes, byte-identical to enc94."""
+    from dcsexplorer_tpu.encoder import encoder as enc
+
+    n_files = int(os.environ.get("DCS_BENCH_ENC_FILES_DEV", "64"))
+    jobs, audio_s = _enc_jobs(n_files)
+    enc.encode_files_device(jobs)         # compile, untimed
+    best = None
+    for _ in range(max(2, iters // 2)):
+        t0 = time.perf_counter()
+        out = enc.encode_files_device(jobs)
+        dt = time.perf_counter() - t0
+        assert all(nf > 0 for (_, nf) in out)
+        best = dt if best is None else min(best, dt)
+    return audio_s / best
 
 
 def main():
@@ -280,6 +299,8 @@ def main():
         configs["session6"] = bench_session6(iters)
     if want("enc94"):
         configs["enc94"] = bench_enc94(iters)
+    if want("enc94_dev"):
+        configs["enc94_dev"] = bench_enc94_dev(iters)
 
     headline = configs.get("flat94", next(iter(configs.values())))
     print(json.dumps({

@@ -107,6 +107,41 @@ def _invert_codebooks():
 CB_CODE, CB_BITS, TZ_CODE, TZ_BITS = _invert_codebooks()
 
 
+def _bits_steps():
+    """Codeword lengths as step functions of the stored value.
+
+    For codebook k the length array over the valid values [0, 2^k) is
+    piecewise constant with ~a dozen plateaus (short codes cluster around
+    the reference value), so bits(v) = b0 + Σ_j d_j·[v ≥ t_j] — a dozen
+    compares instead of a 64-way table lookup.  This is what lets the
+    device twin compute exact per-format stream sizes without any
+    per-sample gather (device94._encode_format)."""
+    steps = []
+    for k in range(7):
+        if k == 0:
+            steps.append((0, [], []))
+            continue
+        arr = CB_BITS[k, :1 << k]
+        b0 = int(arr[0])
+        ts, ds = [], []
+        for v in range(1, 1 << k):
+            if arr[v] != arr[v - 1]:
+                ts.append(v)
+                ds.append(int(arr[v]) - int(arr[v - 1]))
+        steps.append((b0, ts, ds))
+    jmax = max(len(t) for (_, t, _) in steps)
+    b0s = np.asarray([s[0] for s in steps], dtype=np.int32)
+    t_tab = np.full((7, jmax), 64, dtype=np.int32)     # 64 = never reached
+    d_tab = np.zeros((7, jmax), dtype=np.int32)
+    for k, (_, ts, ds) in enumerate(steps):
+        t_tab[k, :len(ts)] = ts
+        d_tab[k, :len(ds)] = ds
+    return b0s, t_tab, d_tab
+
+
+BITS_B0, BITS_T, BITS_D = _bits_steps()
+
+
 def _invert_delta_tree():
     tree = np.asarray(T.HUFFTREE94)
     codes = {}

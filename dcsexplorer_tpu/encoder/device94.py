@@ -39,11 +39,8 @@ for _b in range(NBANDS):
     _PAD_SRC[_b, :_n] = c94.BAND_START[_b] + np.arange(_n)
     _PAD_MASK[_b, :_n] = True
 
-# per-format static flags: does band b take a previous-code-dependent
-# pre-adjustment column (type 1, bands 0-2)?
-_DEP = np.zeros((NFMT, NBANDS), dtype=bool)
-for _k, (_t, _s) in enumerate(c94.FORMATS):
-    _DEP[_k, :3] = _t == 1
+# (the previous-code-dependent pre-adjustment flags — type 1, bands 0-2 —
+# ride in the per-stream ``dep`` array built by setup_arrays)
 
 
 def _jnp():
@@ -163,11 +160,14 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     _, (codes, pidx) = jax.lax.scan(
         step, jnp.zeros(16, jnp.int32), (silent, out15, out14))
 
-    # --- emission (core94.emit94_np)
+    # --- exact stream size (bits only — core94.emit94_np's widths).  The
+    # symbol VALUES never leave the device: the host re-derives the
+    # winner's emission from its own coefficients plus the fetched codes
+    # (native dcs94_emit_with_codes); the device's job is the exact size
+    # of every candidate so the winner choice is canonical.
     prev_rows = jnp.concatenate(
         [jnp.zeros((1, 16), jnp.int32), codes[:-1]], axis=0)
     deltas = codes - prev_rows
-    dv = jnp.asarray(c94.DELTA_VAL.astype(np.int32))[deltas - c94.DELTA_LO]
     db = jnp.where(keep[None, :] & mask_f[:, None],
                    jnp.asarray(c94.DELTA_BITS.astype(np.int32))[
                        deltas - c94.DELTA_LO], 0)
@@ -181,12 +181,11 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     ref = jnp.where(is_cb,
                     jnp.left_shift(jnp.int32(1), jnp.maximum(bw - 1, 0)), 0)
     msk = jnp.left_shift(jnp.int32(1), jnp.maximum(bw, 1)) - 1
-    vals = (q + ref) & msk
+    stored = (q + ref) & msk
 
     live = jnp.take(live_b, band_of, axis=1)
     bwc = jnp.clip(bw, 0, 6)
     tz_bits_l = jnp.asarray(c94.TZ_BITS.astype(np.int32))
-    tz_code_l = jnp.asarray(c94.TZ_CODE.astype(np.int32))
     tz_ok = tz_bits_l[bwc] > 0
 
     zero = (q == 0) & is_cb & live & tz_ok
@@ -203,29 +202,44 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     shadow = jnp.concatenate(
         [jnp.zeros((F, 1), bool), pair_head[:, :-1]], axis=1)
 
-    cb_code = jnp.asarray(c94.CB_CODE.astype(np.int32))[bwc, vals & 63]
-    cb_bits = jnp.asarray(c94.CB_BITS.astype(np.int32))[bwc, vals & 63]
-    svals = jnp.where(is_cb, cb_code, vals)
+    # codeword lengths as step functions of the stored value (a dozen
+    # vectorized compares, core94._bits_steps) — no per-sample gathers,
+    # which TPUs scalarize
+    bwc_b = jnp.clip(bw_b, 0, 6)                         # [F, 16]
+    oh_k = (bwc_b[:, :, None] == jnp.arange(7, dtype=jnp.int32)[None, None])
+    ohk_i = oh_k.astype(jnp.int32)
+    b0_b = jnp.sum(ohk_i * jnp.asarray(c94.BITS_B0)[None, None], axis=2)
+    t_b = jnp.sum(ohk_i[:, :, :, None]
+                  * jnp.asarray(c94.BITS_T)[None, None], axis=2)
+    d_b = jnp.sum(ohk_i[:, :, :, None]
+                  * jnp.asarray(c94.BITS_D)[None, None], axis=2)
+    t_p = jnp.take(t_b, band_of, axis=1)                 # [F, 255, J]
+    d_p = jnp.take(d_b, band_of, axis=1)
+    cb_bits = (jnp.take(b0_b, band_of, axis=1)
+               + jnp.sum(jnp.where(stored[:, :, None] >= t_p, d_p, 0),
+                         axis=2))
     sbits = jnp.where(is_cb, cb_bits, bw)
-    svals = jnp.where(pair_head, tz_code_l[bwc], svals)
     sbits = jnp.where(pair_head, tz_bits_l[bwc], sbits)
     sbits = jnp.where(live & ~shadow & mask_f[:, None], sbits, 0)
 
-    out_v = jnp.concatenate([dv, svals], axis=1)
-    out_b = jnp.concatenate([db, sbits], axis=1)
-    nbytes = 18 + (jnp.sum(out_b, dtype=jnp.int32) + 7) // 8
-    return out_v, out_b, nbytes
+    nbits = (jnp.sum(db, dtype=jnp.int32)
+             + jnp.sum(sbits, dtype=jnp.int32))
+    nbytes = 18 + (nbits + 7) // 8
+    return codes, pidx, nbytes
 
 
 def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
-                w_lut, sf_lut, amin, amax, pip, wanted):
-    """All format candidates for one stream + winner selection.
+                w_lut, sf_lut, amin, amax, pip, dep, wanted):
+    """All selected format candidates for one stream + winner selection.
 
-    ci [F,255] i32; luts carry the format axis [NFMT, 16, 16, PMAX];
-    wanted [NFMT] bool.  Returns (nbytes [NFMT], winner, vals, bits).
-    """
+    ci [F,255] i32; luts carry the format-slot axis [K, 16, 16, PMAX]
+    (K = selected candidates only — the wildcard search computes 3, not
+    4: (0,3) is body-identical to (0,0), core94.skip_dup_format);
+    dep [K, 16] bool, wanted [K] bool.  Returns (nbytes [K], winner,
+    vals, bits)."""
     import jax
     jnp = _jnp()
+    K = w_lut.shape[0]
     pad_src = jnp.asarray(_PAD_SRC)
     padmask = jnp.asarray(_PAD_MASK)
     cpad = jnp.take(ci, pad_src.reshape(-1), axis=1).reshape(
@@ -236,23 +250,28 @@ def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
     mx = jnp.max(jnp.where(padmask[None], cpad, -big), axis=2)
     silent = (mx - mn) <= sil_max
 
-    dep = jnp.asarray(_DEP)
     fmt = jax.vmap(
         lambda w, s, an, ax, pp, dp: _encode_format(
             ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
             w, s, an, ax, pp, dp))
-    vals, bits, nbytes = fmt(w_lut, sf_lut, amin, amax, pip, dep)
+    codes, pidx, nbytes = fmt(w_lut, sf_lut, amin, amax, pip, dep)
 
-    key = jnp.where(wanted, nbytes * NFMT
-                    + jnp.arange(NFMT, dtype=jnp.int32), big)
+    key = jnp.where(wanted, nbytes * K
+                    + jnp.arange(K, dtype=jnp.int32), big)
     winner = jnp.argmin(key).astype(jnp.int32)
-    return nbytes, winner, vals[winner], bits[winner]
+    # only the winner's CODES travel host-ward (32 bytes/frame, uint8):
+    # the host re-derives the winner's symbol emission from its own copy
+    # of the coefficients — the host↔device link is the scarce resource
+    # on serving hosts, and the decisions are the only thing the device
+    # knows that the host doesn't
+    return (nbytes, winner, codes[winner].astype(jnp.uint8),
+            pidx[winner].astype(jnp.uint8))
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled(fmax):
+def _compiled(fmax, k):
     import jax
-    del fmax                       # cache key only (shapes bake into jit)
+    del fmax, k                    # cache key only (shapes bake into jit)
     return jax.jit(jax.vmap(_encode_all))
 
 
@@ -264,34 +283,39 @@ def setup_arrays(ci_list, params):
     """Host setup for a batch: per-stream StreamSetup → stacked device
     arrays + per-stream (setup, wanted mask, headers)."""
     setups = []
+    slots = []                         # per stream: slot index → FormatSetup
     B = len(ci_list)
-    w_lut = np.ones((B, NFMT, 16, 16, PMAX), dtype=np.int32)
+    # preserve the numpy core's format filter semantics (shared by every
+    # stream — the filter depends only on params)
+    sel = [f for f in c94.FORMATS
+           if (params.stream_format_type < 0
+               or params.stream_format_type == f[0])
+           and (params.stream_format_subtype < 0
+                or params.stream_format_subtype == f[1])]
+    if not sel:
+        raise ValueError(
+            "No available stream format types match the requested "
+            "encoding parameters")
+    if (0, 0) in sel and (0, 3) in sel:
+        sel.remove((0, 3))             # body-identical (core94.skip_dup_format)
+    K = len(sel)
+    w_lut = np.ones((B, K, 16, 16, PMAX), dtype=np.int32)
     sf_lut = np.ones_like(w_lut)
     amin = np.zeros_like(w_lut)
     amax = np.zeros_like(w_lut)
-    pip = np.zeros((B, NFMT, 16), dtype=np.int32)
+    pip = np.zeros((B, K, 16), dtype=np.int32)
+    dep = np.zeros((B, K, 16), dtype=bool)
     keep = np.zeros((B, 16), dtype=bool)
     thr = np.zeros((B, 16), dtype=np.int32)
     dlim = np.zeros((B, 16), dtype=np.int32)
     cape = np.zeros((B, 16), dtype=np.int32)
     sil_max = np.zeros(B, dtype=np.int32)
-    wanted = np.zeros((B, NFMT), dtype=bool)
+    wanted = np.ones((B, K), dtype=bool)
     import math
     for i, ci in enumerate(ci_list):
-        st = c94.setup94(ci, params, wanted=c94.FORMATS)
-        # preserve the numpy core's format filter semantics
-        sel = [f for f in c94.FORMATS
-               if (params.stream_format_type < 0
-                   or params.stream_format_type == f[0])
-               and (params.stream_format_subtype < 0
-                    or params.stream_format_subtype == f[1])]
-        if not sel:
-            raise ValueError(
-                "No available stream format types match the requested "
-                "encoding parameters")
-        if (0, 0) in sel and (0, 3) in sel:
-            sel.remove((0, 3))         # body-identical (core94.skip_dup_format)
+        st = c94.setup94(ci, params, wanted=sel)
         setups.append(st)
+        slots.append(list(st.formats))
         for k, fs in enumerate(st.formats):
             assert (np.abs(fs.amax_lut) < (1 << 31)).all()
             assert (np.abs(fs.amin_lut) < (1 << 31)).all()
@@ -300,15 +324,15 @@ def setup_arrays(ci_list, params):
             amin[i, k] = np.clip(fs.amin_lut, -(1 << 31) + 1, (1 << 31) - 1)
             amax[i, k] = np.clip(fs.amax_lut, -(1 << 31) + 1, (1 << 31) - 1)
             pip[i, k] = fs.pidx_of_prev
-            wanted[i, k] = c94.FORMATS[k] in sel
+            dep[i, k, :3] = fs.fmt_type == 1
         keep[i, :st.bands_keep] = True
         thr[i] = st.thr
         dlim[i] = np.asarray(
             [math.isqrt(max(int(t), 0)) + 1 for t in st.thr], np.int32)
         cape[i] = np.minimum(thr[i].astype(np.int64) + 1, 1 << 25)
         sil_max[i] = st.sil_max
-    return setups, (w_lut, sf_lut, amin, amax, pip, keep, thr, dlim, cape,
-                    sil_max, wanted)
+    return setups, slots, (w_lut, sf_lut, amin, amax, pip, dep, keep, thr,
+                           dlim, cape, sil_max, wanted)
 
 
 def encode_batch(ci_list, params, backend=None):
@@ -324,27 +348,35 @@ def encode_batch(ci_list, params, backend=None):
         ci[i, :c.shape[0]] = c
         mask[i, :c.shape[0]] = True
 
-    setups, arrs = setup_arrays(ci_list, params)
-    (w_lut, sf_lut, amin, amax, pip, keep, thr, dlim, cape,
+    setups, slots, arrs = setup_arrays(ci_list, params)
+    (w_lut, sf_lut, amin, amax, pip, dep, keep, thr, dlim, cape,
      sil_max, wanted) = arrs
-    fn = _compiled(fmax)
+    fn = _compiled(fmax, w_lut.shape[1])
     import jax
     dev = jax.devices(backend)[0] if backend else None
     put = (lambda a: jax.device_put(a, dev)) if dev else jnp.asarray
-    nbytes, winner, vals, bits = fn(
+    nbytes, winner, codes, pidx = fn(
         put(ci), put(mask), put(sil_max), put(keep), put(thr), put(dlim),
         put(cape), put(w_lut), put(sf_lut), put(amin), put(amax), put(pip),
-        put(wanted))
+        put(dep), put(wanted))
     nbytes = np.asarray(nbytes)
     winner = np.asarray(winner)
-    vals = np.asarray(vals)
-    bits = np.asarray(bits)
+    codes = np.asarray(codes).astype(np.int8)
+    pidx = np.asarray(pidx).astype(np.int8)
 
+    from .. import native
     out = []
     for i, st in enumerate(setups):
         k = int(winner[i])
-        fs = st.formats[k]
-        body = c94.pack_bits(vals[i], bits[i])
+        fs = slots[i][k]
+        F = st.n_frames
+        body = native.emit94_with_codes(ci_list[i], fs, codes[i, :F],
+                                        pidx[i, :F], st.bands_keep)
+        if body is None:               # no native toolchain: numpy emission
+            vals, bits = c94.emit94_np(ci_list[i], st, fs,
+                                       codes[i, :F].astype(np.int64),
+                                       pidx[i, :F].astype(np.int64))
+            body = c94.pack_bits(vals, bits)
         stream = (st.n_frames.to_bytes(2, "big") + fs.header + body)
         assert len(stream) == int(nbytes[i, k]), \
             (len(stream), int(nbytes[i, k]))

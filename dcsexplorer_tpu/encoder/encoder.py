@@ -291,6 +291,40 @@ def encode_files(jobs, params: CompressionParams = None, os_version=None,
         return [f.result() for f in futs]
 
 
+def encode_files_device(jobs, params: CompressionParams = None,
+                        backend=None):
+    """Encode many PCM buffers through the batched on-device encoder
+    (BASELINE #4 on the chip): host does framing + the BLAS analysis
+    matmul and the per-stream setup; the device runs the full format-
+    candidate search — decision tables, wrap refinement, band-type scan,
+    symbol emission, per-format sizes, winner gather — in one jitted
+    program (encoder/device94.py); the host packs the winner's compact
+    symbol planes into bytes.  Byte-identical to encode_pcm for every
+    input (tests/test_encoder_device.py).
+
+    jobs: list of (pcm, sample_rate).  Returns list of (stream, n_frames).
+    """
+    from . import device94
+    if params is None:
+        params = CompressionParams()
+    cis = []
+    n_frames = []
+    for pcm, rate in jobs:
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            pcm = pcm.astype(np.float32)
+        if rate != RATE:
+            from .resample import resample
+            pcm = resample(pcm, rate, RATE)
+        frames = frames_from_pcm(pcm)
+        coefs = analysis.analyze_frames(frames)
+        cis.append(np.clip(np.rint(coefs), -(1 << 20), 1 << 20)
+                   .astype(np.int32))
+        n_frames.append(frames.shape[0])
+    streams = device94.encode_batch(cis, params, backend=backend)
+    return list(zip(streams, n_frames))
+
+
 def _decode_stream_pcm(stream, os_version):
     """Decode a raw stream through the scalar runtime at master volume 255 /
     mixing level 0x64 (the standalone nominal playback level)."""

@@ -81,6 +81,13 @@ def get_lib():
         + [C.c_void_p, C.c_int, C.c_int, C.c_void_p]
         + [C.c_int, C.c_int] + [C.c_void_p] * 6
         + [C.c_void_p, C.c_int64, C.c_void_p])
+    lib.dcs94_emit_with_codes.restype = C.c_int64
+    lib.dcs94_emit_with_codes.argtypes = (
+        [C.c_void_p, C.c_int, C.c_int]
+        + [C.c_void_p] * 4
+        + [C.c_int, C.c_void_p, C.c_int, C.c_int]
+        + [C.c_void_p] * 6
+        + [C.c_void_p, C.c_int64])
     _lib = lib
     return _lib
 
@@ -147,6 +154,41 @@ def encode94_search(ci, formats, bands_keep, thr, sil_max):
     if n < 0:
         raise RuntimeError(f"native encode failed: {n}")
     return int(winner[0]), out[:n].tobytes()
+
+
+def emit94_with_codes(ci, fs, codes, pidx, bands_keep):
+    """Emit + pack one stream for the winning format given its per-frame
+    band-type codes (the device twin's return, encoder/device94.py).
+
+    ci [F, 255] int32; fs: core94.FormatSetup; codes/pidx [F, 16].
+    Returns body bytes, or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..encoder import core94 as c94
+    ci = np.ascontiguousarray(ci, dtype=np.int32)
+    F = ci.shape[0]
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    pidx = np.ascontiguousarray(pidx, dtype=np.int8)
+    wl = np.ascontiguousarray(fs.w_lut, dtype=np.int32)
+    sl = np.ascontiguousarray(fs.sf_lut, dtype=np.int32)
+    bsz = np.ascontiguousarray(c94.BAND_SIZES, dtype=np.int32)
+    dval = np.ascontiguousarray(c94.DELTA_VAL, dtype=np.int32)
+    dbits = np.ascontiguousarray(c94.DELTA_BITS, dtype=np.int32)
+    cbc = np.ascontiguousarray(c94.CB_CODE, dtype=np.int32)
+    cbb = np.ascontiguousarray(c94.CB_BITS, dtype=np.int32)
+    tzc = np.ascontiguousarray(c94.TZ_CODE, dtype=np.int32)
+    tzb = np.ascontiguousarray(c94.TZ_BITS, dtype=np.int32)
+    cap = F * 600 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    p = lambda a: a.ctypes.data_as(C.c_void_p)
+    n = lib.dcs94_emit_with_codes(
+        p(ci), F, int(c94.PMAX), p(wl), p(sl), p(codes), p(pidx),
+        int(bands_keep), p(bsz), int(c94.DELTA_LO), int(dval.size),
+        p(dval), p(dbits), p(cbc), p(cbb), p(tzc), p(tzb), p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native emit failed: {n}")
+    return out[:n].tobytes()
 
 
 class NativeDecode:

@@ -62,6 +62,67 @@ struct Packer {
     }
 };
 
+// symbol emission + packing for one format given the per-frame band-type
+// codes (core94.emit94_np / pack_bits semantics); shared by the full
+// search below and the dcs94_emit_with_codes entry used by the device
+// twin (which sends only the winner's codes back from the TPU)
+static int emit_stream(
+    const int32_t* ci, int F, int PMAX,
+    const int32_t* wl, const int32_t* sl,
+    const int8_t* codes, const int8_t* pidxs,
+    int bands_keep, const int* band_start, const int32_t* band_sizes,
+    int delta_lo, int delta_len,
+    const int32_t* delta_val, const int32_t* delta_bits,
+    const int32_t* cb_code, const int32_t* cb_bits,
+    const int32_t* tz_code, const int32_t* tz_bits,
+    Packer& pk) {
+    pk.out.reserve(static_cast<size_t>(F) * 128);
+    for (int f = 0; f < F; ++f) {
+        const int8_t* crow = codes + static_cast<size_t>(f) * NBANDS;
+        const int8_t* prow = f > 0 ? crow - NBANDS : nullptr;
+        for (int b = 0; b < bands_keep; ++b) {
+            const int delta = crow[b] - (prow ? prow[b] : 0);
+            const int di = delta - delta_lo;
+            if (di < 0 || di >= delta_len) return -2;
+            pk.put(static_cast<uint32_t>(delta_val[di]), delta_bits[di]);
+        }
+        const int32_t* row = ci + static_cast<size_t>(f) * NPOS;
+        for (int b = 0; b < bands_keep; ++b) {
+            const int c = crow[b];
+            const int pi = pidxs[f * NBANDS + b];
+            const int64_t bw = wl[(b * NBANDS + c) * PMAX + pi];
+            if (c == 0 || bw == 0) continue;
+            const int64_t sf = sl[(b * NBANDS + c) * PMAX + pi];
+            const bool is_cb = bw >= 1 && bw <= 6;
+            const int bwc = static_cast<int>(is_cb ? bw : (bw < 0 ? 0 : 6));
+            const int64_t ref = is_cb ? (int64_t(1) << (bw - 1)) : 0;
+            const int64_t mask = (int64_t(1) << bw) - 1;
+            const bool tz = is_cb && tz_bits[bwc] > 0;
+            const int s0b = band_start[b], nb = band_sizes[b];
+            for (int i = 0; i < nb; ++i) {
+                const int64_t q = rdiv(row[s0b + i], sf);
+                if (tz && q == 0 && i + 1 < nb
+                    && rdiv(row[s0b + i + 1], sf) == 0) {
+                    pk.put(static_cast<uint32_t>(tz_code[bwc]),
+                           tz_bits[bwc]);
+                    ++i;   // pair consumed
+                    continue;
+                }
+                const int64_t stored = (q + ref) & mask;
+                if (is_cb) {
+                    const int idx = bwc * 64 + static_cast<int>(stored & 63);
+                    pk.put(static_cast<uint32_t>(cb_code[idx]),
+                           cb_bits[idx]);
+                } else {
+                    pk.put(static_cast<uint32_t>(stored),
+                           static_cast<int>(bw));
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -247,50 +308,12 @@ long long dcs94_encode_search(
 
         // symbol emission + packing (core94.emit94_np / pack_bits)
         Packer& pk = packers[k];
-        pk.out.reserve(static_cast<size_t>(F) * 128);
-        for (int f = 0; f < F; ++f) {
-            const int8_t* crow = codes.data() + static_cast<size_t>(f) * NBANDS;
-            const int8_t* prow = f > 0 ? crow - NBANDS : nullptr;
-            for (int b = 0; b < bands_keep; ++b) {
-                const int delta = crow[b] - (prow ? prow[b] : 0);
-                const int di = delta - delta_lo;
-                if (di < 0 || di >= delta_len) return -2;
-                pk.put(static_cast<uint32_t>(delta_val[di]), delta_bits[di]);
-            }
-            const int32_t* row = ci + static_cast<size_t>(f) * NPOS;
-            for (int b = 0; b < bands_keep; ++b) {
-                const int c = crow[b];
-                const int pi = pidxs[f * NBANDS + b];
-                const int64_t bw = wl[(b * NBANDS + c) * PMAX + pi];
-                if (c == 0 || bw == 0) continue;
-                const int64_t sf = sl[(b * NBANDS + c) * PMAX + pi];
-                const bool is_cb = bw >= 1 && bw <= 6;
-                const int bwc = static_cast<int>(is_cb ? bw : (bw < 0 ? 0 : 6));
-                const int64_t ref = is_cb ? (int64_t(1) << (bw - 1)) : 0;
-                const int64_t mask = (int64_t(1) << bw) - 1;
-                const bool tz = is_cb && tz_bits[bwc] > 0;
-                const int s0b = band_start[b], nb = band_sizes[b];
-                for (int i = 0; i < nb; ++i) {
-                    const int64_t q = rdiv(row[s0b + i], sf);
-                    if (tz && q == 0 && i + 1 < nb
-                        && rdiv(row[s0b + i + 1], sf) == 0) {
-                        pk.put(static_cast<uint32_t>(tz_code[bwc]),
-                               tz_bits[bwc]);
-                        ++i;   // pair consumed
-                        continue;
-                    }
-                    const int64_t stored = (q + ref) & mask;
-                    if (is_cb) {
-                        const int idx = bwc * 64 + static_cast<int>(stored & 63);
-                        pk.put(static_cast<uint32_t>(cb_code[idx]),
-                               cb_bits[idx]);
-                    } else {
-                        pk.put(static_cast<uint32_t>(stored),
-                               static_cast<int>(bw));
-                    }
-                }
-            }
-        }
+        const int rc = emit_stream(ci, F, PMAX, wl, sl, codes.data(),
+                                   pidxs.data(), bands_keep, band_start,
+                                   band_sizes, delta_lo, delta_len,
+                                   delta_val, delta_bits, cb_code, cb_bits,
+                                   tz_code, tz_bits, pk);
+        if (rc != 0) return rc;
         sizes[k] = 18 + (pk.nbits + 7) / 8;
     }
 
@@ -302,6 +325,46 @@ long long dcs94_encode_search(
     if (n > out_cap) return -3;
     std::memcpy(out, packers[best].out.data(), n);
     *winner_out = best;
+    return n;
+}
+
+// Emit + pack one stream for a single format whose per-frame band-type
+// codes were decided elsewhere (the TPU twin, encoder/device94.py).  The
+// decisions are canonical integers, so this byte-matches the full search's
+// emission for the same codes.  Returns body bytes or a negative error.
+long long dcs94_emit_with_codes(
+    const int32_t* ci, int F, int PMAX,
+    const int32_t* w_lut,      // [16,16,PMAX] — the winning format's LUTs
+    const int32_t* sf_lut,
+    const int8_t* codes,       // [F,16]
+    const int8_t* pidx,        // [F,16]
+    int bands_keep,
+    const int32_t* band_sizes, // [16]
+    int delta_lo, int delta_len,
+    const int32_t* delta_val, const int32_t* delta_bits,
+    const int32_t* cb_code, const int32_t* cb_bits,
+    const int32_t* tz_code, const int32_t* tz_bits,
+    uint8_t* out, long long out_cap) {
+    if (F <= 0) return -1;
+    int band_start[NBANDS];
+    {
+        int acc = 0;
+        for (int b = 0; b < NBANDS; ++b) {
+            band_start[b] = acc;
+            acc += band_sizes[b];
+        }
+        if (acc != NPOS) return -1;
+    }
+    Packer pk;
+    const int rc = emit_stream(ci, F, PMAX, w_lut, sf_lut, codes, pidx,
+                               bands_keep, band_start, band_sizes,
+                               delta_lo, delta_len, delta_val, delta_bits,
+                               cb_code, cb_bits, tz_code, tz_bits, pk);
+    if (rc != 0) return rc;
+    pk.flush();
+    const long long n = static_cast<long long>(pk.out.size());
+    if (n > out_cap) return -3;
+    std::memcpy(out, pk.out.data(), n);
     return n;
 }
 
