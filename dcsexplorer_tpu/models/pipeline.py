@@ -153,6 +153,11 @@ class StreamBank:
         self.offsets = offsets
         return self
 
+    def total_rows(self):
+        """Number of global dense rows (incl. the silent dummy row 0)."""
+        return 1 + sum(
+            self._streams[si][0].n_frames for si in self.keys.values())
+
     def jitted(self):
         """A cached jit of device_decode (reused across sessions so each
         new session with the same bank skips retracing)."""

@@ -28,7 +28,8 @@ def get_lib():
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
     srcs = [os.path.join(src_dir, f)
             for f in ("dcs_native.cpp", "flac.cpp", "mp3.cpp",
-                      "vorbis.cpp", "adsp2105.cpp", "encoder94.cpp")]
+                      "vorbis.cpp", "adsp2105.cpp", "encoder94.cpp",
+                      "tracer.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -81,6 +82,20 @@ def get_lib():
         + [C.c_void_p, C.c_int, C.c_int, C.c_void_p]
         + [C.c_int, C.c_int] + [C.c_void_p] * 6
         + [C.c_void_p, C.c_int64, C.c_void_p])
+    lib.dcstr_create.restype = C.c_void_p
+    lib.dcstr_create.argtypes = [C.c_int] * 5
+    lib.dcstr_destroy.argtypes = [C.c_void_p]
+    lib.dcstr_add_chip.argtypes = [C.c_void_p, C.c_int, C.c_char_p,
+                                   C.c_int64]
+    lib.dcstr_set_catalog.argtypes = [C.c_void_p, C.c_int64, C.c_int64,
+                                      C.c_int, C.c_int]
+    lib.dcstr_soft_boot.argtypes = [C.c_void_p]
+    lib.dcstr_write_port.argtypes = [C.c_void_p, C.c_int]
+    lib.dcstr_trace.restype = C.c_int
+    lib.dcstr_trace.argtypes = [C.c_void_p, C.c_int, C.c_void_p, C.c_void_p,
+                                C.c_int] + [C.c_void_p] * 4
+    lib.dcstr_read_host.restype = C.c_int
+    lib.dcstr_read_host.argtypes = [C.c_void_p, C.c_void_p, C.c_int]
     lib.dcs94_emit_with_codes.restype = C.c_int64
     lib.dcs94_emit_with_codes.argtypes = (
         [C.c_void_p, C.c_int, C.c_int]
