@@ -149,7 +149,7 @@ class StreamBank:
         self.has93a = bool(rows93a)
         pool += b"\xff" * 8
         pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
-        self.pool_quads = bd.window_quads(jnp.asarray(pool_bytes))
+        self.pool_quads = bd.window_rows(jnp.asarray(pool_bytes), 10)
         self.offsets = offsets
         return self
 

@@ -170,12 +170,13 @@ def prescan93(mem, pos=0, prefer_native=True):
     return idx
 
 
-def decode93_frames(pool_quads, idx_arrays, mix, fb_prev=None):
+def decode93_frames(pool_rows, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames' bands into frame buffers [F, 512].
 
     idx_arrays: dict of jnp arrays from a Stream93Index (kind, width, n_samp,
     bit_start, out_start, out_inc, scale, prv_in, prv_dl) each [F, 16];
-    pool_quads: [W, 4] uint32 quad windows (band_decode.window_quads);
+    pool_rows: [W, ≥10] uint32 row windows (band_decode.window_rows(b, 10)
+    — a whole band's samples come out of one 320-bit row gather);
     mix: [F].
     """
     from . import band_decode as bd
@@ -200,21 +201,18 @@ def decode93_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     w = width[:, :, None]
     live = i16 < n_samp[:, :, None]
 
-    # fixed-width sample extraction in groups of four: one 128-bit quad-ROW
-    # gather serves four consecutive samples (start offset <= 31 within the
-    # row, +3 widths <= 79, +field <= 95 bits — always in-row), quartering
-    # the gather count vs one scalar gather per sample.  (Groups of eight
-    # over 256-bit rows were measured SLOWER here: unlike the serial scan,
-    # these gathers run fully parallel and pay per element, so the wider
-    # row doubles the fetched bytes for nothing.)
+    # fixed-width sample extraction with ONE row gather per BAND: a band's
+    # 16 samples span ≤ 31 + 16·17 = 303 bits, inside one 320-bit
+    # (10-word) row window — gathers are the kernel's dominant cost on
+    # TPU (they scalarize), and this quarters them vs 4-sample quad
+    # groups (which in turn quartered per-sample gathers).  The field
+    # extraction is the shared word-select shifter (quad_extract), pure
+    # fused VPU arithmetic over the gathered row.
     w1 = jnp.maximum(w, 1)
-    bitpos = bit_start[:, :, None] + i16 * w
-    group_pos = bitpos[:, :, ::4]                               # [F, 16, 4]
-    quad = pool_quads[group_pos >> 5]                           # [F, 16, 4, 4]
-    i4 = jnp.arange(4, dtype=jnp.int32).reshape(1, 1, 1, 4)
-    d = (group_pos & 31)[:, :, :, None] + i4 * w1[:, :, :, None]
-    raw = bd.quad_extract(quad[:, :, :, None, :], d, jnp.broadcast_to(
-        w1[:, :, :, None], d.shape)).reshape(F, 16, 16)
+    rows = pool_rows[bit_start >> 5]                            # [F, 16, NW]
+    d = (bit_start & 31)[:, :, None] + i16 * w                  # [F, 16, 16]
+    raw = bd.quad_extract(rows[:, :, None, :], d,
+                          jnp.broadcast_to(w1, d.shape))
     raw = raw & ((1 << w1) - 1)
     samp = (raw - ((raw >> (w1 - 1)) << w1)) & M16              # sign-extend
 

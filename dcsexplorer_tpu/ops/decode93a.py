@@ -35,6 +35,17 @@ _PAIR_PACKED = ((_PAIR[0::2].astype(np.int64) & 0xFFFF) << 16) \
     | (_PAIR[1::2].astype(np.int64) & 0xFFFF)
 _PAIR_PACKED = _PAIR_PACKED.astype(np.int32)
 
+# the packed table re-sliced by sample width: subtable w covers packed
+# indices [2^w, 2^(w+1)) (index = (1<<w)+raw).  All 14 samples of a band
+# share one width, so the device fetches a band's 64-entry row by a
+# cheap 7-way one-hot and resolves samples with a 64-way one-hot
+# contraction — no per-sample table gather (TPUs scalarize those).
+_PAIR_BYW = np.zeros((7, 64), dtype=np.int32)
+for _w in range(7):
+    _n = 1 << _w
+    _seg = _PAIR_PACKED[_n:2 * _n]
+    _PAIR_BYW[_w, :min(_n, 64)] = _seg[:64]
+
 
 @dataclass
 class Stream93aIndex:
@@ -129,7 +140,7 @@ def index_arrays(idx: Stream93aIndex, bit_base=0):
 def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames into frame buffers [F, 512].
 
-    pool_quads: [W, 4] uint32 quad windows (band_decode.window_quads);
+    pool_quads: [W, ≥4] uint32 row windows (band_decode.window_rows);
     mix: [F].  All band output spans are static, so the result assembles
     by slicing — no scatter.
     """
@@ -147,21 +158,28 @@ def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
         & (w > 0)
     w1 = jnp.maximum(w, 1)
 
-    # fixed-width samples: ONE 128-bit quad-ROW gather per band serves all
+    # fixed-width samples: ONE quad-ROW gather per band serves all
     # fourteen inputs (93a widths are <= 6 bits via the pair table, so
     # start offset 31 + 14*6 = 115 bits stays in-row) — one gather per
-    # band instead of one per sample
-    quad = pool_quads[bit_start >> 5]               # [F, 18, 4]
+    # band instead of one per sample.  Only the first 4 words of the
+    # (wider, shared) row windows are fetched.
+    quad = pool_quads[bit_start >> 5, :4]           # [F, 18, 4]
     d = (bit_start & 31)[:, :, None] + s_in * w1    # [F, 18, 14]
     raw = bd.quad_extract(quad[:, :, None, :], d, jnp.broadcast_to(
         w1, d.shape))
     raw = raw & ((1 << w1) - 1)                     # unsigned
 
-    # each input yields two outputs via the pair table at (2<<bits)+2*raw;
-    # the packed table returns both in one gather
-    half = (1 << w1) + raw
-    packed = jnp.asarray(_PAIR_PACKED)[
-        jnp.clip(half, 0, _PAIR_PACKED.size - 1)]
+    # each input yields two outputs via the pair table at (2<<bits)+2*raw.
+    # The width is band-constant, so the band's 64-entry packed row comes
+    # from a 7-way one-hot and each sample resolves with a 64-way one-hot
+    # contraction — gather-free (XLA fuses both reductions)
+    ohw = (w[:, :, 0:1] == jnp.arange(7, dtype=jnp.int32)[None, None])
+    rows_p = jnp.sum(jnp.where(ohw[:, :, :, None],
+                               jnp.asarray(_PAIR_BYW)[None, None], 0),
+                     axis=2)                        # [F, 18, 64]
+    ohr = (jnp.clip(raw, 0, 63)[:, :, :, None]
+           == jnp.arange(64, dtype=jnp.int32)[None, None, None])
+    packed = jnp.sum(jnp.where(ohr, rows_p[:, :, None, :], 0), axis=3)
     pair0 = packed >> 16                            # s16 applied below
     pair1 = packed & M16
 
