@@ -3,12 +3,15 @@
 
 Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
 
-- flat94        — headline: the flat catalog sweep (Huffman symbol decode →
+- flat94_music  — HEADLINE: the flat catalog sweep (Huffman symbol decode →
                   dequant/scale → inverse transform → overlap resolve) over
-                  the legacy four-tone corpus, comparable across rounds.
-- flat94_music  — the same sweep over the dense music corpus
-                  (assets/streams/music_*.dcs94; data-shaped scan length
-                  makes symbol density matter, ARCHITECTURE.md).
+                  the dense music corpus (assets/streams/music_*.dcs94 —
+                  realistic symbol density).
+- flat94        — the same sweep over the legacy four-tone corpus, kept
+                  for cross-round comparability.
+- flat94_e2e    — the COLD end-to-end sweep: per-entry native indexing +
+                  native VM trace + pack + upload + device sweep + PCM
+                  checksum, nothing cached between entries/iterations.
 - dec93b        — the 1993-format device kernel batched over music streams.
 - dec93a_t1     — the OS93a Type-1 (Judge Dredd) device kernel batched.
 - session6      — a batch of DISTINCT six-voice sessions (staggered
@@ -88,7 +91,11 @@ def bench_flat94(streams, copies, iters, shard=True):
     return sweep_in.audio_samples / 31250.0 / dt / n_dev
 
 
-def _bench_93_family(stream, is_t1, copies, iters):
+def _bench_93_family(streams, is_t1, copies, iters):
+    """Batch DISTINCT streams (cycled to ``copies`` elements): every batch
+    element carries its own bitstream pool and prescan index, so symbol
+    content, codebook mix and chain state vary across the batch — no
+    broadcast replication."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -98,49 +105,104 @@ def _bench_93_family(stream, is_t1, copies, iters):
     from dcsexplorer_tpu.refdec.decoder import OS93A, OS93B
 
     mod = decode93a if is_t1 else decode93
-    idx = (decode93a.prescan93a(stream, 0) if is_t1
-           else decode93.prescan93(stream, 0))
-    n_frames = idx.n_frames
+    per = []
+    n_frames = None
+    for stream in streams:
+        idx = (decode93a.prescan93a(stream, 0) if is_t1
+               else decode93.prescan93(stream, 0))
+        assert n_frames is None or idx.n_frames == n_frames, \
+            "bench streams must share a frame count"
+        n_frames = idx.n_frames
 
-    tr = ControlTracer()
-    tr.default_volume = 255
-    tr.init_standalone(OS93A if is_t1 else OS93B)
-    tr.soft_boot()
-    tr.load_audio_stream(0, stream, mixing_level=0x64)
-    tr.trace_frames(n_frames)
-    mix = np.zeros(n_frames, dtype=np.int32)
-    for t, entries in enumerate(tr.trace_entries):
-        for (c, _, fidx, m) in entries:
-            if c == 0 and fidx == t:
-                mix[t] = m
-    vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+        tr = ControlTracer()
+        tr.default_volume = 255
+        tr.init_standalone(OS93A if is_t1 else OS93B)
+        tr.soft_boot()
+        tr.load_audio_stream(0, stream, mixing_level=0x64)
+        tr.trace_frames(n_frames)
+        mix = np.zeros(n_frames, dtype=np.int32)
+        for t, entries in enumerate(tr.trace_entries):
+            for (c, _, fidx, m) in entries:
+                if c == 0 and fidx == t:
+                    mix[t] = m
+        vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+        pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
+                             dtype=np.uint8).astype(np.int32)
+        per.append((bd.window_rows(jnp.asarray(pool), 10),
+                    mod.index_arrays(idx), jnp.asarray(mix),
+                    jnp.asarray(vol)))
 
-    pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
-                         dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_quads(jnp.asarray(pool))
-    arrays = mod.index_arrays(idx)
+    # cycle the distinct streams across the batch; the batch holds one
+    # SHARED stack of the distinct pools (padded rectangular) and each
+    # element selects its pool by index — per-element content without
+    # replicating pool memory
+    wmax = max(p[0].shape[0] for p in per)
+    def padw(wd):
+        return jnp.pad(wd, ((0, wmax - wd.shape[0]), (0, 0)))
+    pools = jnp.stack([padw(p[0]) for p in per])   # [S, W, NW]
+    pid = jnp.asarray([k % len(per) for k in range(copies)], jnp.int32)
+    sel = [per[k % len(per)] for k in range(copies)]
+    arrB = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[1] for p in sel])
+    mixB = jnp.stack([p[2] for p in sel])
+    volB = jnp.stack([p[3] for p in sel])
 
-    # batch: replicate the stream K ways (identical shapes → plain vmap)
-    rep = lambda a: jnp.broadcast_to(a, (copies,) + a.shape)
-    wwB = rep(wwords)
-    arrB = jax.tree.map(rep, arrays)
-    mixB = rep(jnp.asarray(mix))
-    volB = rep(jnp.asarray(vol))
-
-    def one(ww, arrs, mixv, volv):
+    def one(pools, pi, arrs, mixv, volv):
+        ww = pools[pi]
         fb = mod.decode93a_frames(ww, arrs, mixv) if is_t1 else \
             mod.decode93_frames(ww, arrs, mixv)
         raw = tf.transform93_raw(fb, volv)
         pcm, _ = tf.overlap_resolve93(raw, jnp.zeros(16, jnp.int32))
         return pcm
 
-    def batch(ww, arrs, mixv, volv):
-        pcm = jax.vmap(one)(ww, arrs, mixv, volv)
+    def batch(pools, pid, arrs, mixv, volv):
+        pcm = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))(
+            pools, pid, arrs, mixv, volv)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
     fn = jax.jit(batch)
-    dt = _timeit(fn, (wwB, arrB, mixB, volB), iters)
+    dt = _timeit(fn, (pools, pid, arrB, mixB, volB), iters)
     return copies * n_frames * 240 / 31250.0 / dt
+
+
+def bench_flat94_e2e(iters):
+    """End-to-end COLD catalog sweep (the decode contract starts at ROM
+    bytes, DCSDecoder.cpp:1579-1690): for EVERY catalog entry — native
+    stream indexing (frame boundaries, band-type chains), native runtime
+    VM trace (mix/volume), vectorized control pack — then upload, one
+    device sweep dispatch, and the PCM checksum fetch.  Nothing is shared
+    or cached between entries or iterations."""
+    import jax
+    import jax.numpy as jnp
+    from dcsexplorer_tpu.models import flatsweep
+    from dcsexplorer_tpu.ops import band_decode as bd
+
+    streams = _read(["music_a.dcs94", "music_b.dcs94"]
+                    + [f"{n}.dcs94" for n in LEGACY])
+    copies = int(os.environ.get("DCS_BENCH_E2E_COPIES", "8"))
+    catalog = streams * copies
+
+    def sweep(*a):
+        pcm = flatsweep.flat_pipeline(*a)
+        return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
+
+    fn = jax.jit(sweep, static_argnums=(10,))
+
+    def cold():
+        sw = flatsweep.FlatSweep(catalog)     # index + trace, per entry
+        sw.pack()
+        args = list(sw.args())                # host→device upload
+        args[0] = bd.window_rows_for(args[0], args[1].shape[0])
+        return int(fn(*args)), sw.audio_samples
+
+    chk, audio_samples = cold()               # compile, untimed
+    best = None
+    for _ in range(max(2, iters)):
+        t0 = time.perf_counter()
+        c2, _ = cold()
+        dt = time.perf_counter() - t0
+        assert c2 == chk
+        best = dt if best is None else min(best, dt)
+    return audio_samples / 31250.0 / best
 
 
 def bench_session6(iters):
@@ -313,19 +375,25 @@ def main():
     def want(name):
         return only is None or name in only
 
-    if want("flat94"):
-        legacy = _read([f"{n}.dcs94" for n in LEGACY])
-        configs["flat94"] = bench_flat94(legacy, copies, iters)
     if want("flat94_music"):
         music = _read(["music_a.dcs94", "music_b.dcs94"])
         configs["flat94_music"] = bench_flat94(
-            music, max(2, copies // 8), iters, shard=False)
+            music, max(2, copies // 2), iters)
+    if want("flat94"):
+        legacy = _read([f"{n}.dcs94" for n in LEGACY])
+        configs["flat94"] = bench_flat94(legacy, copies, iters)
+    if want("flat94_e2e"):
+        configs["flat94_e2e"] = bench_flat94_e2e(iters)
     if want("dec93b"):
+        # heterogeneous batch: two distinct music streams, one per 1993
+        # sub-family (OS93b Type 0/1, OS93a Type 0 — same decompressor)
         configs["dec93b"] = _bench_93_family(
-            _read(["music_a.dcs93b"])[0], False, max(2, copies // 8), iters)
+            _read(["music_a.dcs93b", "music_b.dcs93a"]), False,
+            max(2, copies // 2), iters)
     if want("dec93a_t1"):
         configs["dec93a_t1"] = _bench_93_family(
-            _read(["dense_t1.dcs93a1"])[0], True, max(2, copies // 8), iters)
+            _read(["dense_t1.dcs93a1", "dense_t1b.dcs93a1"]), True,
+            max(2, copies // 2), iters)
     if want("session6"):
         configs["session6"] = bench_session6(iters)
     if want("enc94"):
@@ -333,7 +401,9 @@ def main():
     if want("enc94_dev"):
         configs["enc94_dev"] = bench_enc94_dev(iters)
 
-    headline = configs.get("flat94", next(iter(configs.values())))
+    headline = configs.get("flat94_music",
+                           configs.get("flat94",
+                                       next(iter(configs.values()))))
     print(json.dumps({
         "metric": "batched_decode_throughput",
         "value": round(headline, 1),

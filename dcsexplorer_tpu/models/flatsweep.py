@@ -162,7 +162,13 @@ def flat_pipeline(pool_words, start_bit, header, fmt_type, sub_type,
 
 
 class FlatSweep:
-    """Host-side packing of a whole catalog for the flat pipeline."""
+    """Host-side packing of a whole catalog for the flat pipeline.
+
+    Per catalog entry the host runs the native stream indexer (frame
+    boundaries, band-type chains) and the native runtime VM trace (mixing
+    multipliers, volume shifts), then assembles the per-frame control
+    arrays with vectorized numpy — the whole cold path is a few ms per
+    stream, so end-to-end sweeps are device-bound, not host-bound."""
 
     def __init__(self, streams, mixing_level=0x64, master_volume=0x67):
         idxs = [prescan.prescan94(s, 0) for s in streams]
@@ -175,48 +181,74 @@ class FlatSweep:
         pool += b"\xff" * 8
         self.pool = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
 
-        rows = []
-        from .pipeline import ControlTracer
+        cols = []      # per stream: dict of per-frame numpy columns
         for k, (s, i) in enumerate(zip(streams, idxs)):
-            tr = ControlTracer()
-            tr.default_volume = master_volume
-            tr.init_standalone(rd.OS94)
-            tr.soft_boot()
-            tr.load_audio_stream(0, s, mixing_level=mixing_level)
-            tr.trace_frames(i.n_frames)
-            mixes = np.zeros(i.n_frames, dtype=np.int32)
-            for t, entries in enumerate(tr.trace_entries):
-                for (c, _, fidx, m) in entries:
-                    if c == 0 and fidx == t:
-                        mixes[t] = m
-            vols = np.asarray(tr.trace_vol_shift, dtype=np.int32)
-            dt = prescan.scan_totals(i)
-            for f in range(i.n_frames):
-                rows.append((
-                    offsets[k] * 8 + int(i.start_bit[f]),
-                    i.header, int(i.fmt_type), int(i.sub_type),
-                    i.band_type[f], i.band_type_prev[f],
-                    int(mixes[f]), int(vols[f]), f == 0, int(dt[f]), k, f))
-
-        self.n_frames_total = len(rows)
+            F = i.n_frames
+            mixes, vols = self._trace(s, F, mixing_level, master_volume)
+            cols.append(dict(
+                start_bit=(offsets[k] * 8 + i.start_bit).astype(np.int32),
+                header=np.broadcast_to(np.asarray(i.header, np.int32),
+                                       (F, 16)),
+                fmt=np.full(F, int(i.fmt_type), np.int32),
+                sub=np.full(F, int(i.sub_type), np.int32),
+                bt=np.asarray(i.band_type, np.int32),
+                btp=np.asarray(i.band_type_prev, np.int32),
+                mix=mixes, vol=vols,
+                sstart=(np.arange(F) == 0),
+                totals=np.asarray(prescan.scan_totals(i), np.int64),
+            ))
+        self._cols = cols
+        self.n_frames_total = int(sum(c["fmt"].size for c in cols))
         self.audio_samples = self.n_frames_total * 240
-        self.rows = rows
-        self.dense_totals = np.array([r[9] for r in rows]) if rows else np.zeros(0, int)
+        self.dense_totals = (np.concatenate([c["totals"] for c in cols])
+                             if cols else np.zeros(0, np.int64))
+
+    @staticmethod
+    def _trace(stream, n_frames, mixing_level, master_volume):
+        """Per-frame (mix multiplier, volume shift) for standalone
+        playback — native runtime VM when available, Python fallback."""
+        from ..vm import native_tracer as nt
+        if nt.available():
+            tr = nt.NativeControlTracer(stream, default_volume=master_volume,
+                                        standalone_os=rd.OS94)
+            tr.soft_boot()
+            tr.load_audio_stream(0, 0, mixing_level=mixing_level)
+            _, _, out_m, out_v = tr.trace_frames(n_frames)
+            tr.close()
+            return out_m[:, 0].astype(np.int32), out_v.astype(np.int32)
+        from .pipeline import ControlTracer
+        tr = ControlTracer()
+        tr.default_volume = master_volume
+        tr.init_standalone(rd.OS94)
+        tr.soft_boot()
+        tr.load_audio_stream(0, stream, mixing_level=mixing_level)
+        tr.trace_frames(n_frames)
+        mixes = np.zeros(n_frames, dtype=np.int32)
+        for t, entries in enumerate(tr.trace_entries):
+            for (c, _, fidx, m) in entries:
+                if c == 0 and fidx == t:
+                    mixes[t] = m
+        return mixes, np.asarray(tr.trace_vol_shift, dtype=np.int32)
 
     def pack(self):
-        rows = self.rows
-        N = len(rows)
-        arr = lambda f, dt: np.asarray([f(r) for r in rows], dtype=dt)
-        self.start_bit = arr(lambda r: r[0], np.int32)
-        self.header = np.stack([r[1] for r in rows]).astype(np.int32)
-        self.fmt = arr(lambda r: r[2], np.int32)
-        self.sub = arr(lambda r: r[3], np.int32)
-        self.bt = np.stack([r[4] for r in rows]).astype(np.int32)
-        self.btp = np.stack([r[5] for r in rows]).astype(np.int32)
-        self.mix = arr(lambda r: r[6], np.int32)
-        self.vol = arr(lambda r: r[7], np.int32)
-        self.sstart = arr(lambda r: r[8], bool)
-        self.n_steps = int(min(256, (self.dense_totals.max() + 7) & ~7)) if N else 8
+        cols = self._cols
+        cat = lambda key: (np.concatenate([c[key] for c in cols])
+                           if cols else np.zeros(0, np.int32))
+        self.start_bit = cat("start_bit").astype(np.int32)
+        self.header = (np.concatenate([c["header"] for c in cols])
+                       if cols else np.zeros((0, 16), np.int32))
+        self.fmt = cat("fmt")
+        self.sub = cat("sub")
+        self.bt = (np.concatenate([c["bt"] for c in cols])
+                   if cols else np.zeros((0, 16), np.int32))
+        self.btp = (np.concatenate([c["btp"] for c in cols])
+                    if cols else np.zeros((0, 16), np.int32))
+        self.mix = cat("mix")
+        self.vol = cat("vol")
+        self.sstart = cat("sstart").astype(bool)
+        N = self.n_frames_total
+        self.n_steps = int(min(256, (self.dense_totals.max() + 7) & ~7)) \
+            if N else 8
         return self
 
     def args(self):

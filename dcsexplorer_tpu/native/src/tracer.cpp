@@ -145,7 +145,10 @@ struct Tracer {
         Ptr p;
         p.chip = (linear >> rom.addr_shift) & 7;
         int64_t size = rom.sizes[p.chip];
-        p.pos = size > 0 ? (linear & (size - 1)) : linear;
+        // power-of-two chip sizes wrap like the hardware (rom/image.py
+        // make_pointer); standalone pools of arbitrary size pass through
+        p.pos = (size > 0 && (size & (size - 1)) == 0)
+                    ? (linear & (size - 1)) : linear;
         return p;
     }
 
@@ -648,6 +651,21 @@ void dcstr_set_catalog(void* h, long long track_index,
 }
 
 void dcstr_soft_boot(void* h) { static_cast<Tracer*>(h)->soft_boot(); }
+
+// Standalone stream playback (refdec load_audio_stream public API): play
+// the stream at `addr` on `chno` with the given mixing level — the
+// flat-sweep and EncoderTester shapes, no ROM tracks involved.
+void dcstr_load_stream(void* h, int chno, unsigned addr, int mixing_level,
+                       int loop_count) {
+    Tracer* t = static_cast<Tracer*>(h);
+    chno &= 7;
+    Chan& c = t->ch[chno];
+    c.has_track = false;
+    t->load_audio_stream(chno, chno, loop_count, addr);
+    Mix& m = c.mixer[chno];
+    m.reset();
+    m.cur = m.target = mixing_level << 6;
+}
 
 void dcstr_write_port(void* h, int b) {
     static_cast<Tracer*>(h)->write_port(b);

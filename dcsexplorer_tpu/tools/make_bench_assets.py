@@ -120,12 +120,16 @@ def main():
                           "kind": "music"}
         print(f"{name}: {n_frames} frames, {len(stream)} bytes")
 
-    t1 = build_stream93a_type1()
-    with open(os.path.join(outdir, "dense_t1.dcs93a1"), "wb") as f:
-        f.write(t1)
-    manifest["dense_t1.dcs93a1"] = {
-        "frames": 700, "bytes": len(t1), "kind": "93a-type1"}
-    print(f"dense_t1.dcs93a1: 700 frames, {len(t1)} bytes")
+    # two DISTINCT Type-1 streams so batched bench elements differ
+    # (selector picks a different band-bits codebook family for B)
+    for name, sel, seed in (("dense_t1.dcs93a1", 1, 5),
+                            ("dense_t1b.dcs93a1", 2, 17)):
+        t1 = build_stream93a_type1(selector=sel, seed=seed)
+        with open(os.path.join(outdir, name), "wb") as f:
+            f.write(t1)
+        manifest[name] = {
+            "frames": 700, "bytes": len(t1), "kind": "93a-type1"}
+        print(f"{name}: 700 frames, {len(t1)} bytes")
 
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)

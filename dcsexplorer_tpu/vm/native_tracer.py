@@ -25,14 +25,28 @@ def available():
 
 class NativeControlTracer:
     """Trace a ROM session natively.  Events are data-port bytes scheduled
-    before given frame indices: {frame: [byte, ...]}."""
+    before given frame indices: {frame: [byte, ...]}.
 
-    def __init__(self, rom_set, default_volume=0x67):
+    ``rom_set`` may instead be raw stream bytes for standalone playback
+    (pass ``standalone_os``): the bytes become chip 0 and streams load by
+    offset through load_audio_stream."""
+
+    def __init__(self, rom_set, default_volume=0x67, standalone_os=None):
         lib = native.get_lib()
         assert lib is not None
         self._lib = lib
-        self.rom_set = rom_set
         self._bufs = []
+        if standalone_os is not None:
+            self.rom_set = None
+            self._h = lib.dcstr_create(int(standalone_os), 0, 0, 0x0106,
+                                       int(default_volume))
+            buf = bytes(rom_set)
+            self._bufs.append(buf)
+            lib.dcstr_add_chip(self._h, 0, buf, len(buf))
+            lib.dcstr_set_catalog(self._h, 0, 0, 0,
+                                  21 if standalone_os == rd.OS95 else 20)
+            return
+        self.rom_set = rom_set
         self._h = lib.dcstr_create(
             int(rom_set.os_version), int(rom_set.game_id == "TOTAN"),
             int(rom_set.nominal_version or 0), 0x0106, int(default_volume))
@@ -61,6 +75,13 @@ class NativeControlTracer:
 
     def soft_boot(self):
         self._lib.dcstr_soft_boot(self._h)
+
+    def load_audio_stream(self, chno, addr, mixing_level=0x64,
+                          loop_count=1):
+        """Standalone stream playback (refdec load_audio_stream): play the
+        stream whose header starts at ROM address ``addr``."""
+        self._lib.dcstr_load_stream(self._h, int(chno), int(addr),
+                                    int(mixing_level), int(loop_count))
 
     def write_data_port(self, b):
         self._lib.dcstr_write_port(self._h, int(b) & 0xFF)
