@@ -31,10 +31,12 @@ import struct
 
 from ..format import tables as T
 from . import firmware94 as f94
-from .asm import (ADD, AR, ASHIFT_HI, AX0, AX1, AY0, AY1, CNTR, EQ, EXP_HI,
-                  EXP_LO, GE, LSHIFT_LO, LSHIFT_LO_OR, M0, M1, M2, M3, M6,
-                  MAC_RND, MAC_SS, MAC_SU, MF, MR, MR0, MR1, MSUB_RND,
-                  MUL_RND, MUL_SS, MUL_SU, MX0, MX1, MY0, MY1, NE, NEG_Y,
+from .asm import (ADD, AF, AR, ASHIFT_HI, AX0, AX1, AY0, AY1, CNTR, EQ,
+                  EXP_HI,
+                  EXP_LO, GE, LSHIFT_LO, LSHIFT_LO_OR, LT, M0, M1, M2, M3,
+                  M6, MAC_RND, MAC_SS, MAC_SU, MF, MR, MR0, MR1, MSUB_RND,
+                  MUL_RND, MUL_SS, MUL_SU, MUL_UU, MX0, MX1, MY0, MY1, NE,
+                  NEG_Y,
                   NORM_HI, NORM_LO_OR, NOT_AC, I0, I1, I2, I3, I4, PASS,
                   RSUB, SE, SI, SR0, SR1, SUB, Y_DEC, Y_INC)
 from .firmware94 import SYM, S_BT, S_HDR
@@ -69,27 +71,65 @@ TABLE_WORDS, TLAY = _table_words()
 FW_RESERVE = (OVERLAY_ROM_ADDR, TABLES_ROM_ADDR + 2 * len(TABLE_WORDS))
 
 
+def _table_words_93a():
+    """The 93 tables plus the OS93a Type-1 codebooks (appended, so the
+    shared tables keep their 93 offsets).  The 2048-entry pair table does
+    NOT fit the DM table window; it stays in ROM (PAIR_ROM_ADDR_93A) and
+    the decoder reads entries through the byte-reader cursor."""
+    words, layout = list(TABLE_WORDS), dict(TLAY)
+
+    def put(name, vals):
+        layout[name] = TAB93 + len(words)
+        words.extend(int(v) & 0xFFFF for v in vals)
+
+    put("T_A_BB", [int(v) & 0xFFFF
+                   for row in T.OS93A_BAND_BITS_CODEBOOKS for v in row])
+    put("T_A_SB", [int(v) & 0xFFFF
+                   for row in T.OS93A_SCALE_CODEBOOK for v in row])
+    put("T_A_IN", T.OS93A_INPUTS_PER_BAND)
+    assert TAB93 + len(words) < 0x0E00, len(words)
+    return words, layout
+
+
+TABLE_WORDS_93A, TLAY_93A = _table_words_93a()
+PAIR_ROM_ADDR_93A = TABLES_ROM_ADDR + 2 * len(TABLE_WORDS_93A)
+FW_RESERVE_93A = (OVERLAY_ROM_ADDR,
+                  PAIR_ROM_ADDR_93A + 2 * len(T.OS93A_PAIR_TABLE))
+
+
 def table_blob():
     """The ROM byte image of the 93 decoder tables (big-endian words)."""
     return b"".join(struct.pack(">H", w) for w in TABLE_WORDS)
 
 
+def table_blob_93a():
+    """93a ROM tables: the DM-loaded words plus the ROM-resident
+    Type-1 pair table."""
+    return (b"".join(struct.pack(">H", w) for w in TABLE_WORDS_93A)
+            + b"".join(struct.pack(">H", int(v) & 0xFFFF)
+                       for v in T.OS93A_PAIR_TABLE))
+
+
 def build_decoder_firmware(catalog_ofs=0x3000, reported_version=0x0106,
-                           default_volume=0x67):
-    """Assemble the OS93b decoding firmware (DCS audio board, hw 2).
+                           default_volume=0x67, os93a=False):
+    """Assemble the OS93b (or, with ``os93a``, the OS93a) decoding
+    firmware (DCS audio board, hw 2).
 
     Returns (boot_words, overlay_words, symbols) — same contract as
-    firmware94.build_decoder_firmware.
-    """
+    firmware94.build_decoder_firmware.  The 93a variant adds the Type-1
+    (Judge Dredd) frame decompressor, 1-byte Type-1 stream headers, the
+    1993a op $04 host-event-timer grammar, and the fixed $7FFF mixing
+    base (reference: DCSDecoderNative.cpp:2687-2781, :1089-1116)."""
     return f94.build_decoder_firmware(
         catalog_ofs=catalog_ofs, hw_version=2,
         reported_version=reported_version, default_volume=default_volume,
         _variant={
-            "table_words": TABLE_WORDS,
-            "tlay": TLAY,
-            "emit_decode": _emit_decode93,
+            "table_words": TABLE_WORDS_93A if os93a else TABLE_WORDS,
+            "tlay": TLAY_93A if os93a else TLAY,
+            "emit_decode": _emit_decode93a if os93a else _emit_decode93,
             "emit_transform": _emit_transform93,
             "os93": True,
+            "os93a": os93a,
         })
 
 
@@ -101,13 +141,30 @@ def _emit_decode93(a):
     _emit_dec_frame93(a)
 
 
-def _emit_dec_frame93(a):
+def _emit_decode93a(a):
+    """OS93a decode: dispatch each frame on the stream's header bit 7 —
+    set selects the Type-1 decompressor (refdec _decompress_frame)."""
+    f94._emit_decode_driver(a)
+    a.label("dec_frame")
+    a.lds(AX0, "STB")
+    a.add_imm(AX0, S_HDR)
+    a.mov(I1, AR)
+    a.ld_i(AX1, I1, M0)                 # hdr[0]
+    a.and_imm(AX1, 0x80)
+    a.cmp_imm(AR, 0)
+    a.jump("dec_t1", NE)
+    a.jump("dec_f93")
+    _emit_dec_frame93(a, label="dec_f93")
+    _emit_dec_frame93a_t1(a)
+
+
+def _emit_dec_frame93(a, label="dec_frame"):
     """One 1993-format frame for the current channel.  Entry state (set
     by the shared decode driver): MY1 = mixing multiplier, STB/CHB point
     at the stream/channel blocks, bit-reader scalars loaded."""
     FB = f94.FB
 
-    a.label("dec_frame")
+    a.label(label)
     a.ena_int()                         # integer MAC mode (no product <<1)
     a.c16(AR, 0)
     a.sts("ERRF", AR)
@@ -493,6 +550,209 @@ def _emit_dec_frame93(a):
     a.alu(AR, PASS, None, AY0, EQ)
     a.sts("BSUB", AR)
     a.lds(AR, "TMP0")
+    a.rts()
+
+
+# ----------------------------------------------------------------------
+# OS93a Type-1 frame decompressor
+# (refdec/frames.py::decompress_frame_93a_type1)
+
+def _emit_dec_frame93a_t1(a):
+    """One OS93a Type-1 (Judge Dredd) frame: per band, a 4-bit-prefix
+    band-bits codebook in one of four selector groups, a two-level scale
+    codebook feeding the running scale-code chain, then per input sample
+    TWO outputs from the ROM-resident pair table, each accumulated into
+    the frame buffer with one rounding MAC (fractional mode — the MAC's
+    convergent-rounding quirk IS the reference's round_mr).  Reference:
+    DCSDecoderNative.cpp:2687-2781."""
+    FB = f94.FB
+
+    a.label("dec_t1")
+    a.c16(AR, 0)
+    a.sts("ERRF", AR)
+    a.sts("BANDNO", AR)
+    a.c16(AR, 0x1A)
+    a.sts("SCODE", AR)                  # prv_scale_code
+    a.c16(AR, FB)
+    a.sts("OUTIDX", AR)
+    # hdr[0]: num_bands = &$1F, codebook group base = (&$60)>>1
+    a.lds(AX0, "STB")
+    a.add_imm(AX0, S_HDR)
+    a.mov(I1, AR)
+    a.ld_i(SI, I1, M0)
+    a.mov(AX0, SI)
+    a.and_imm(AX0, 0x1F)
+    a.sts("NPART", AR)                  # num_bands
+    a.shift_imm(LSHIFT_LO, SI, -1)
+    a.mov(AX0, SR0)
+    a.and_imm(AX0, 0x30)
+    a.sts("CBB", AR)                    # book base (0/16/32/48)
+
+    a.label("t1_loop")
+    a.lds(AX0, "BANDNO")
+    a.lds(AY0, "NPART")
+    a.alu(AF, SUB, AX0, AY0)
+    a.jump("t1_done", EQ)
+    # inputs for this band
+    a.c16(AR, TLAY_93A["T_A_IN"])
+    a.ld(AY1, SYM["BANDNO"])
+    a.alu(AR, ADD, AR, AY1)
+    a.mov(I1, AR)
+    a.ld_i(AR, I1, M0)
+    a.sts("ICNT", AR)
+    # band bits: ele = books[base + peek(4)]; consume(ele.nbits)
+    a.c16(AX0, 4)
+    a.call("peek")
+    a.lds(AY0, "CBB")
+    a.alu(AR, ADD, AR, AY0)
+    a.mov(SI, AR)
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.mov(AR, SR0)
+    a.add_imm(AR, TLAY_93A["T_A_BB"])
+    a.mov(I1, AR)
+    a.ld_i(AR, I1, M1)                  # band_bits
+    a.sts("MW", AR)
+    a.ld_i(AX0, I1, M0)                 # prefix length
+    a.call("consume")
+    a.lds(AX0, "MW")
+    a.cmp_imm(AX0, 0xFFFF)
+    a.jump("t1_done", EQ)               # terminator
+    a.cmp_imm(AX0, 0)
+    a.jump("t1_zero", EQ)
+
+    # ---- scale code: two-level 4-bit-prefix codebook ------------------
+    a.c16(AX0, 4)
+    a.call("peek")
+    a.mov(AY1, AR)
+    a.mov(SI, AR)
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.alu(AR, ADD, SR0, AY1)            # 3·idx
+    a.add_imm(AR, TLAY_93A["T_A_SB"])
+    a.mov(I1, AR)
+    a.ld_i(AR, I1, M1)                  # value
+    a.sts("TMP0", AR)
+    a.ld_i(AX0, I1, M1)                 # prefix length
+    a.ld_i(AX1, I1, M0)                 # escape subtable base
+    a.call("consume")
+    a.lds(AX0, "TMP0")
+    a.cmp_imm(AX0, 0xFFFF)
+    a.jump("t1_scd", NE)
+    # escape: sc = book[sub + peek(4)], consume(nbits - 4)
+    a.c16(AX0, 4)
+    a.call("peek")                      # preserves AX1 (the subtable)
+    a.mov(AY0, AX1)
+    a.alu(AR, ADD, AR, AY0)
+    a.mov(AY1, AR)
+    a.mov(SI, AR)
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.alu(AR, ADD, SR0, AY1)            # 3·(sub+idx)
+    a.add_imm(AR, TLAY_93A["T_A_SB"])
+    a.mov(I1, AR)
+    a.ld_i(AR, I1, M1)                  # value
+    a.sts("TMP0", AR)
+    a.ld_i(AX0, I1, M0)                 # prefix length
+    a.c16(AY0, 4)
+    a.alu(AR, SUB, AX0, AY0)
+    a.mov(AX0, AR)
+    a.call("consume")
+    a.label("t1_scd")
+    # scale_code = prv + value - 1 + 2·band_bits; wrap > $39 by -$36
+    a.lds(AX0, "TMP0")
+    a.lds(AY0, "SCODE")
+    a.alu(AR, ADD, AX0, AY0)
+    a.add_imm(AR, 0xFFFF)               # -1
+    a.lds(SI, "MW")
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.mov(AY0, SR0)
+    a.alu(AR, ADD, AR, AY0)
+    a.cmp_imm(AR, 0x3A)
+    a.jump("t1_nw", LT)
+    a.add_imm(AR, -0x36 & 0xFFFF)
+    a.label("t1_nw")
+    a.sts("TMP1", AR)                   # scale_code
+    a.lds(SI, "MW")
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.mov(AY0, SR0)
+    a.alu(AR, SUB, AR, AY0)
+    a.sts("SCODE", AR)                  # prv = code - 2·band_bits
+    # scale = $8000 · $9838^(code&3)  (1.15 unsigned fractional muls).
+    # CNTR loads push the counter stack; only load it when the loop will
+    # actually run and pop it, or the stack leaks one slot per skip.
+    a.lds(AX0, "TMP1")
+    a.and_imm(AX0, 3)
+    a.sts("TMP2", AR)
+    a.cmp_imm(AR, 0)
+    a.jump("t1_exp0", EQ)
+    a.lds(AR, "TMP2")
+    a.mov(CNTR, AR)
+    a.c16(AR, 0x8000)
+    a.c16(MY0, 0x9838)
+    with a.loop_ce():
+        a.mac(MR, MUL_UU, AR, MY0)
+        a.mov(AR, MR1)
+    a.jump("t1_sh")
+    a.label("t1_exp0")
+    a.c16(AR, 0x8000)
+    a.label("t1_sh")
+    a.sts("TMP3", AR)                   # mantissa
+    # MY0 = ((mant << shift) >> 16) · mix >> 15   (shift = code>>2)
+    a.lds(SI, "TMP1")
+    a.shift_imm(LSHIFT_LO, SI, -2)
+    a.mov(AR, SR0)
+    a.add_imm(AR, -16 & 0xFFFF)
+    a.mov(SE, AR)
+    a.lds(SI, "TMP3")
+    a.shift_se(LSHIFT_LO, SI)           # mant >> (16-shift), logical
+    a.mac(MR, MUL_UU, SR0, MY1)
+    a.mov(MY0, MR1)                     # band scale, mixed
+
+    # ---- samples: 2 outputs per input from the ROM pair table ---------
+    a.lds(AR, "OUTIDX")
+    a.mov(I0, AR)
+    a.lds(AR, "ICNT")
+    a.mov(CNTR, AR)
+    with a.loop_ce():
+        a.lds(AX0, "MW")
+        a.call("getu")                  # AR = raw sample (unsigned)
+        a.mov(SI, AR)
+        a.shift_imm(LSHIFT_LO, SI, 2)   # sample·2 entries·2 bytes
+        a.mov(AY1, SR0)
+        a.lds(AR, "MW")
+        a.add_imm(AR, 2)
+        a.mov(SE, AR)
+        a.c16(SI, 1)
+        a.shift_se(LSHIFT_LO, SI)       # (2<<bits)·2 bytes
+        a.alu(AR, ADD, SR0, AY1)
+        a.add_imm(AR, PAIR_ROM_ADDR_93A)
+        a.sts("P_LO", AR)
+        a.c16(AR, 0)
+        a.sts("P_HI", AR)
+        for _ in range(2):
+            a.call("rd16")              # pair entry (big-endian)
+            a.mov(MX0, AR)
+            a.c16(AX1, 0)
+            a.ld_i(AY1, I0, M0)
+            a.mov(MR1, AY1)             # mr = fb << 16
+            a.mov(MR0, AX1)
+            a.mac(MR, MAC_RND, MX0, MY0)  # += pair·scale, MAC rounding
+            a.st_i(I0, M1, MR1)
+    a.mov(AR, I0)
+    a.sts("OUTIDX", AR)
+    a.jump("t1_next")
+
+    a.label("t1_zero")                  # empty band: skip 2·n_inputs
+    a.lds(SI, "ICNT")
+    a.shift_imm(LSHIFT_LO, SI, 1)
+    a.mov(AY0, SR0)
+    a.lds(AX0, "OUTIDX")
+    a.alu(AR, ADD, AX0, AY0)
+    a.sts("OUTIDX", AR)
+    a.label("t1_next")
+    a.lds(AY0, "BANDNO")
+    a.alu(AR, Y_INC, None, AY0)
+    a.sts("BANDNO", AR)
+    a.jump("t1_loop")
+    a.label("t1_done")
     a.rts()
 
 

@@ -75,6 +75,8 @@ SC = 0x1480            # scalars (see _SCALARS)
 # channel block fields
 C_TRKHI, C_TRKLO, C_TCTR, C_NXTT, C_NXTL, C_STOP, C_SRC, C_MMULT, \
     C_CVOL, C_MOVR = range(10)
+# OS93a host-event timer (refdec HostEventTimer: data, interval, counter)
+C_HETD, C_HETI, C_HETC = 10, 11, 12
 C_LSP = 13             # loop stack pointer (entries)
 C_LSTK = 16            # 16 × [count, hi, lo]
 
@@ -174,6 +176,8 @@ class _Fw(Asm):
 
     hw = 2
     os93 = False        # 1993-software VM grammar (op $06 has no operands)
+    os93a = False       # OS93a runtime: 1-byte Type-1 stream headers,
+    #                     op $04 host-event timers, fixed $7FFF volume base
 
     def c16(self, reg, val):
         return self.imm(reg, val & 0xFFFF)
@@ -245,6 +249,7 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
     a.hw = hw_version
     if _variant is not None:
         a.os93 = _variant.get("os93", False)
+        a.os93a = _variant.get("os93a", False)
     table_words = (TABLE_WORDS if _variant is None
                    else _variant["table_words"])
 
@@ -919,6 +924,12 @@ def _emit_sweep_and_drain(a):
     a.add_imm(AR, CH + C_LSP)
     a.mov(I1, AR)
     a.st_i_imm(I1, M0, 0)               # loop stack empty
+    if a.os93a:
+        a.mov(AR, AX1)
+        a.add_imm(AR, CH + C_HETI)
+        a.mov(I1, AR)
+        a.st_i_imm(I1, M1, 0)           # host-event timer cleared
+        a.st_i_imm(I1, M0, 0)
     # done-mask bit clear: DONE &= ~(1<<ch)
     a.mov(SI, AX1)
     a.shift_imm(LSHIFT_LO, SI, -6)
@@ -1063,6 +1074,12 @@ def _emit_vm(a):
     a.add_imm(AR, C_LSP)
     a.mov(I1, AR)
     a.st_i_imm(I1, M0, 0)
+    if a.os93a:
+        a.lds(AR, "CHB")
+        a.add_imm(AR, C_HETI)
+        a.mov(I1, AR)
+        a.st_i_imm(I1, M1, 0)           # host-event timer cleared
+        a.st_i_imm(I1, M0, 0)
     a.lds(AR, "XCH")
     a.call("rs_mixcol")
     a.rts()
@@ -1116,12 +1133,32 @@ def _emit_vm(a):
     a.st_i(I1, M1, AR)
     a.lds(AR, "P_LO")
     a.st_i(I1, M1, AR)                  # I1 now at S_SRTHI
-    a.lds(AX0, "P_LO")
-    a.add_imm(AX0, 16)
-    a.mov(MX0, AR)                      # start lo
-    a.c16(AX0, 0)
-    a.lds(AY0, "P_HI")
-    a.alu(AR, ADD_C, AX0, AY0)          # start hi
+    if a.os93a:
+        # OS93a: Type-1 streams (hdr[0] bit 7) carry a 1-byte header
+        # (refdec _init_channel_stream header_len)
+        a.call("rd8")                   # hdr[0]; P → header+1
+        a.mov(AX1, AR)
+        a.and_imm(AX1, 0x80)
+        a.cmp_imm(AR, 0)
+        a.jump("ls_h1", NE)
+        a.lds(AX0, "P_LO")              # 16-byte header: start = P + 15
+        a.add_imm(AX0, 15)
+        a.mov(MX0, AR)
+        a.c16(AX0, 0)
+        a.lds(AY0, "P_HI")
+        a.alu(AR, ADD_C, AX0, AY0)
+        a.jump("ls_hd")
+        a.label("ls_h1")                # 1-byte header: start = P
+        a.lds(MX0, "P_LO")
+        a.lds(AR, "P_HI")
+        a.label("ls_hd")
+    else:
+        a.lds(AX0, "P_LO")
+        a.add_imm(AX0, 16)
+        a.mov(MX0, AR)                  # start lo
+        a.c16(AX0, 0)
+        a.lds(AY0, "P_HI")
+        a.alu(AR, ADD_C, AX0, AY0)      # start hi
     a.st_i(I1, M1, AR)                  # S_SRTHI
     a.st_i(I1, M1, MX0)                 # S_SRTLO
     a.st_i(I1, M1, AR)                  # S_CURHI
@@ -1203,6 +1240,12 @@ def _emit_vm(a):
     a.add_imm(AR, CH + C_TRKHI)
     a.mov(I1, AR)
     a.st_i_imm(I1, M0, 0xFFFF)          # target's track ptr = null
+    if a.os93a:
+        a.mov(AR, AX1)
+        a.add_imm(AR, CH + C_HETI)
+        a.mov(I1, AR)
+        a.st_i_imm(I1, M1, 0)           # target's host-event timer cleared
+        a.st_i_imm(I1, M0, 0)
     a.lds(AR, "CHB")
     a.mov(I1, AR)
     a.ld_i(AR, I1, M0)
@@ -1218,9 +1261,36 @@ def _emit_vm(a):
 
     # --- $04: write data port -----------------------------------------
     a.label("xt_op04")
-    a.call("rd8")
-    a.port_out(AR)
-    a.jump("xt_step")
+    if a.os93a:
+        # 1993a grammar: cmd byte + repeat counter driving the channel's
+        # host-event timer (refdec _exec_track op $04, OS93A branch)
+        a.call("rd8")
+        a.sts("TMP0", AR)               # cmd byte
+        a.call("rd16")
+        a.sts("TMP1", AR)               # repeat counter
+        a.lds(AX0, "CHB")
+        a.add_imm(AX0, C_HETD)
+        a.mov(I1, AR)
+        a.lds(AX0, "TMP0")
+        a.cmp_imm(AX0, 0)
+        a.jump("o4_clr", EQ)            # cmd 0: clear the timer
+        a.port_out(AX0)
+        a.lds(AX1, "TMP1")
+        a.cmp_imm(AX1, 0)
+        a.jump("o4_clr", EQ)            # no counter: one-shot
+        a.st_i(I1, M1, AX0)             # data = cmd
+        a.st_i(I1, M1, AX1)             # interval = counter
+        a.st_i(I1, M0, AX1)             # counter = interval
+        a.jump("xt_step")
+        a.label("o4_clr")
+        a.modify(I1, M1)                # skip data
+        a.st_i_imm(I1, M1, 0)           # interval = 0
+        a.st_i_imm(I1, M0, 0)           # counter = 0
+        a.jump("xt_step")
+    else:
+        a.call("rd8")
+        a.port_out(AR)
+        a.jump("xt_step")
 
     # --- $05: start deferred track ------------------------------------
     a.label("xt_op05")
@@ -1692,9 +1762,27 @@ def _emit_decode_driver(a):
     a.lds(AX0, "STB")
     a.add_imm(AX0, S_HDR)
     a.mov(I3, AR)
-    with a.loop_ce(n=16):
+    if a.os93a:
+        # 1-byte Type-1 headers: copy hdr[0], zero the rest (refdec
+        # _init_stream_playback: header[i] = 0 beyond header_len)
         a.call("rd8")
         a.st_i(I3, M1, AR)
+        a.mov(AX1, AR)
+        a.and_imm(AX1, 0x80)
+        a.cmp_imm(AR, 0)
+        a.jump("hc_t1", NE)
+        with a.loop_ce(n=15):
+            a.call("rd8")
+            a.st_i(I3, M1, AR)
+        a.jump("hc_done")
+        a.label("hc_t1")
+        with a.loop_ce(n=15):
+            a.st_i_imm(I3, M1, 0)
+        a.label("hc_done")
+    else:
+        with a.loop_ce(n=16):
+            a.call("rd8")
+            a.st_i(I3, M1, AR)
     a.lds(AX0, "STB")
     a.add_imm(AX0, S_BT)
     a.mov(I3, AR)
@@ -2397,15 +2485,20 @@ def _emit_mix_update(a):
     a.and_imm(AX0, 0x3FF)
     a.add_imm(AR, 0x80)
     a.sts("TMP0", AR)
-    # multiplier = channel_volume << 7, attenuated by 0.9733^(255-exp)
-    a.lds(SI, "XCH")
-    a.shift_imm(LSHIFT_LO, SI, 6)
-    a.mov(AR, SR0)
-    a.add_imm(AR, CH + C_CVOL)
-    a.mov(I1, AR)
-    a.ld_i(SI, I1, M0)
-    a.shift_imm(LSHIFT_LO, SI, 7)
-    a.mov(AR, SR0)                      # x = channel_volume << 7
+    # multiplier base, attenuated by 0.9733^(255-exp): channel_volume << 7
+    # (1994+), fixed $7FFF in the 1993a software (refdec
+    # _update_mixing_levels, OS93A branch)
+    if a.os93a:
+        a.c16(AR, 0x7FFF)
+    else:
+        a.lds(SI, "XCH")
+        a.shift_imm(LSHIFT_LO, SI, 6)
+        a.mov(AR, SR0)
+        a.add_imm(AR, CH + C_CVOL)
+        a.mov(I1, AR)
+        a.ld_i(SI, I1, M0)
+        a.shift_imm(LSHIFT_LO, SI, 7)
+        a.mov(AR, SR0)                  # x = channel_volume << 7
     a.c16(MX1, 0x7C94)
     a.c16(MY0, 0x7C94)
     a.ld(AX0, SYM["TMP0"])
@@ -2429,6 +2522,27 @@ def _emit_mix_update(a):
     a.ld_i(AY0, I1, M0)
     a.alu(AR, Y_INC, None, AY0)
     a.st_i(I1, M0, AR)
+    if a.os93a:
+        # host-event timer tick (refdec HostEventTimer.update: when armed,
+        # decrement; at zero, reload and re-send the data byte)
+        a.lds(SI, "XCH")
+        a.shift_imm(LSHIFT_LO, SI, 6)
+        a.mov(AR, SR0)
+        a.add_imm(AR, CH + C_HETI)
+        a.mov(I1, AR)
+        a.ld_i(AX1, I1, M1)             # interval; I1 → C_HETC
+        a.cmp_imm(AX1, 0)
+        a.jump("mu_het_done", EQ)
+        a.ld_i(AY0, I1, M0)             # counter (I1 stays)
+        a.alu(AR, Y_DEC, None, AY0)
+        a.st_i(I1, M0, AR)              # counter -= 1
+        a.cmp_imm(AR, 0)
+        a.jump("mu_het_done", NE)
+        a.st_i(I1, M2, AX1)             # counter = interval; I1 → C_HETI
+        a.modify(I1, M2)                # I1 → C_HETD
+        a.ld_i(AR, I1, M0)
+        a.port_out(AR)                  # re-send the data byte
+        a.label("mu_het_done")
     a.lds(AY0, "XCH")
     a.alu(AR, Y_INC, None, AY0)
     a.sts("XCH", AR)

@@ -63,6 +63,11 @@ def op_queue(track, delay=0):
 def op_write_port(b, delay=0):
     return (delay, 0x04, bytes([b]))
 
+def op_write_port93a(b, counter=0, delay=0):
+    """1993a op $04: data byte + 16-bit repeat counter arming the
+    channel's host-event timer (refdec _exec_track, OS93A branch)."""
+    return (delay, 0x04, bytes([b]) + struct.pack(">H", counter))
+
 def op_start_deferred(channel, delay=0):
     return (delay, 0x05, bytes([channel]))
 
@@ -156,9 +161,10 @@ class RomBuilder:
         # synthesized *decoding* firmware (compiler/firmware94.py, built
         # for the matching board map): boot block + PM overlay + decoder
         # tables, so the emulator backend plays their audio, bit-exact
-        # against the native decoder.  OS93b ROMs carry the 1993-format
-        # decoding firmware (compiler/firmware93.py).  OS93a gets the
-        # minimal mini-firmware (silence + data-port service).  The first
+        # against the native decoder.  OS93b and OS93a ROMs carry the
+        # 1993-format decoding firmware (compiler/firmware93.py; the 93a
+        # variant adds the Type-1 decompressor, 1-byte Type-1 headers,
+        # host-event timers and the $7FFF mixing base).  The first
         # boot word is the JUMP the U2 identification heuristics look
         # for.  ($2000 keeps a JUMP for DCS-95-style layouts.)
         from .firmware import build_firmware, encode_boot_block
@@ -179,6 +185,14 @@ class RomBuilder:
             u2.write(fw93.OVERLAY_ROM_ADDR, fw93.overlay_blob(overlay))
             u2.write(fw93.TABLES_ROM_ADDR, fw93.table_blob())
             self._fw_reserve_end = fw93.FW_RESERVE[1]
+        elif spec.os_version == OS93A:
+            from . import firmware93 as fw93
+            boot, overlay, _ = fw93.build_decoder_firmware(
+                catalog_ofs=self.catalog_ofs, os93a=True)
+            u2.write(0x1000, encode_boot_block(boot))
+            u2.write(fw93.OVERLAY_ROM_ADDR, fw93.overlay_blob(overlay))
+            u2.write(fw93.TABLES_ROM_ADDR, fw93.table_blob_93a())
+            self._fw_reserve_end = fw93.FW_RESERVE_93A[1]
         else:
             u2.write(0x1000, encode_boot_block(
                 build_firmware(3 if self.is95 else 2)))

@@ -27,11 +27,17 @@ def _music(n, seed):
 
 
 def _build_zip(os_version=rd.OS94):
-    enc_os = rd.OS93B if os_version == rd.OS93B else None
+    enc_os = os_version if os_version in (rd.OS93A, rd.OS93B) else None
     s1, _ = encode_pcm(_music(2400, 1), os_version=enc_os)
-    s2, _ = encode_pcm(_music(1700, 2),
-                       CompressionParams(stream_format_type=1),
-                       os_version=enc_os)
+    if os_version == rd.OS93A:
+        # second voice exercises the Type-1 (Judge Dredd) decompressor
+        from .test_format93 import build_stream93a_type1
+        s2 = build_stream93a_type1(n_frames=12, n_bands=12, selector=2,
+                                   seed=9)
+    else:
+        s2, _ = encode_pcm(_music(1700, 2),
+                           CompressionParams(stream_format_type=1),
+                           os_version=enc_os)
     spec = g.RomSpec(os_version=os_version, num_channels=6)
     spec.streams = {"s1": bytes(s1), "s2": bytes(s2)}
     spec.tracks = [
@@ -48,6 +54,15 @@ def _build_zip(os_version=rd.OS94):
             g.op_wait_forever(),
         ]),
     ]
+    if os_version == rd.OS93A:
+        # 1993a op $04 grammar: arm the host-event timer (byte 0x42
+        # re-sent every 5 frames until the track stops)
+        spec.tracks[1] = g.TrackSpec(1, channel=0, steps=[
+            g.op_mix(0, 0, 0x64),
+            g.op_play(0, "s1", repeat=1),
+            g.op_write_port93a(0x42, counter=5, delay=1),
+            g.op_wait_forever(),
+        ])
     return g.RomBuilder(spec).build_zip()
 
 
@@ -144,6 +159,31 @@ def test_emulator_os93b_bit_exact():
     script = {
         0: [0x00, 0x01],
         720: [0x00, 0x02],                      # second voice + fade
+        1680: [0x55, 0xAA, 0x70, 0x8F],         # master volume change
+    }
+    n = 24
+    pcm_e = _drive(emu, script, n)
+    pcm_n = _drive(nat, script, n)
+    assert any(v != 0 for v in pcm_n), "native produced silence"
+    diff = [i for i, (a, b) in enumerate(zip(pcm_e, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")
+    assert emu.host.rx == nat.host.rx
+
+
+def test_emulator_os93a_bit_exact():
+    """OS93a: emulator PCM (synthesized firmware93 in its 93a variant —
+    Type-0 AND Type-1 decompressors, 1-byte Type-1 stream headers, op $04
+    host-event timers, the fixed $7FFF mixing base; reference:
+    DCSDecoderNative.cpp:2687-2781, :1089-1116) must bit-match the native
+    decoder on an OS93a compiler ROM, including the repeating data-port
+    traffic the host-event timer generates."""
+    emu, nat = _decoders(rd.OS93A)
+    assert emu.hw_version == 2
+    script = {
+        0: [0x00, 0x01],
+        720: [0x00, 0x02],                      # Type-1 voice
         1680: [0x55, 0xAA, 0x70, 0x8F],         # master volume change
     }
     n = 24

@@ -159,3 +159,99 @@ def test_decode93_frames_match_refdec():
             assert bt == st.band_type, (fmt, frame)
         # stream ended: loop counter 1 → playback stops
         assert dm[stb + FW.S_PLAY] == 0
+
+
+class Harness93a(Harness93):
+    """Harness for the OS93a firmware variant (Type-1 decompressor, pair
+    table in ROM at FW93.PAIR_ROM_ADDR_93A)."""
+
+    def __init__(self, rom=b""):
+        boot, overlay, syms = FW93.build_decoder_firmware(os93a=True)
+        self.syms = syms
+        self.rom = bytearray(rom)
+        self.bank = 0
+        from dcsexplorer_tpu.emu.adsp2105 import ADSP2105
+        cpu = ADSP2105(read_dm=self._rd, write_dm=self._wr)
+        cpu.pm[:len(boot)] = boot
+        cpu.pm[FW93.OVERLAY_PM:FW93.OVERLAY_PM + len(overlay)] = overlay
+        cpu.pm[TRAP_ADDR] = 0x010000
+        for k, w in enumerate(FW93.TABLE_WORDS_93A):
+            cpu.dm[FW93.TAB93 + k] = w
+        for k, v in ((0, 0), (1, 1), (2, -1), (3, 0), (4, 0), (5, 0),
+                     (6, 1), (7, 0)):
+            cpu.m[k] = v
+        cpu.i[5] = 0x3000
+        cpu.dm[FW.SYM["CURBANK"]] = 0xFFFF
+        self.cpu = cpu
+
+
+def test_decode93a_type1_frames_match_refdec():
+    """The OS93a Type-1 decompressor (selector-grouped band-bits prefix
+    codebooks, two-level scale codebook, ROM-resident pair table), frame
+    by frame against refdec — all four selector groups.  Also guards the
+    counter-stack discipline: a CNTR load without its DO UNTIL leaks a
+    slot per frame and corrupts downstream hardware loops (reference:
+    DCSDecoderNative.cpp:2687-2781)."""
+    from dcsexplorer_tpu.refdec.frames import (StreamState,
+                                               decompress_frame_93a_type1)
+    from .test_format93 import build_stream93a_type1
+
+    for selector in range(4):
+        n_frames = 8
+        stream = build_stream93a_type1(n_frames=n_frames, n_bands=12,
+                                       selector=selector, seed=3 + selector)
+        rom_base = 0x0FF0                # header crosses the bank boundary
+        rom = bytearray(max(FW93.FW_RESERVE_93A[1], rom_base + len(stream)))
+        rom[rom_base:rom_base + len(stream)] = stream
+        blob = FW93.table_blob_93a()
+        rom[FW93.TABLES_ROM_ADDR:FW93.TABLES_ROM_ADDR + len(blob)] = blob
+        h = Harness93a(bytes(rom))
+        ch = 3
+        mix = 0xB21C if selector & 1 else 0x51F8
+        stb = FW.ST + ch * 64
+        dm = h.cpu.dm
+        hdr = rom_base + 2
+        srt = hdr + 1                    # 1-byte Type-1 header
+        dm[stb + FW.S_PLAY] = 1
+        dm[stb + FW.S_HDRHI] = hdr >> 16
+        dm[stb + FW.S_HDRLO] = hdr & 0xFFFF
+        dm[stb + FW.S_SRTHI] = srt >> 16
+        dm[stb + FW.S_SRTLO] = srt & 0xFFFF
+        dm[stb + FW.S_CURHI] = srt >> 16
+        dm[stb + FW.S_CURLO] = srt & 0xFFFF
+        dm[stb + FW.S_WHI] = dm[stb + FW.S_WLO] = dm[stb + FW.S_NB] = 0
+        dm[stb + FW.S_FCTR] = n_frames
+        dm[stb + FW.S_NFRM] = n_frames
+        dm[stb + FW.S_LCTR] = 1
+        dm[stb + FW.S_NEEDI] = 1
+        dm[FW.CH + ch * 64 + FW.C_MMULT] = mix
+
+        st = StreamState()
+        mem = PaddedView(bytes(stream))
+        st.mem = mem
+        st.header_pos = 2
+        st.header_len = 1
+        st.start_pos = 3
+        st.bit = BitReader(mem, 3)
+        st.num_frames = n_frames
+        st.frame_counter = n_frames
+        st.loop_counter = 1
+
+        for frame in range(n_frames):
+            if st.bit.pos == st.start_pos and st.bit.nbits == 0:
+                st.header = [int(mem[st.header_pos]) if i == 0 else 0
+                             for i in range(16)]
+                st.band_type = [0] * 16
+            fb_ref = [0] * 512
+            assert decompress_frame_93a_type1(st, fb_ref, mix)
+
+            for i in range(512):
+                dm[FW.FB + i] = 0
+            dm[FW.SYM["DCH"]] = ch
+            h.call("decode_one")
+            got = [dm[FW.FB + i] for i in range(512)]
+            assert got == fb_ref, (
+                f"selector {selector} frame {frame}: first diff at "
+                f"{next(i for i in range(512) if got[i] != fb_ref[i])}")
+        assert h.cpu.cntr_sp == 0, "counter stack leaked"
+        assert dm[stb + FW.S_PLAY] == 0
