@@ -264,44 +264,53 @@ def bench_session6(iters):
 
     fn = jax.jit(fn)
 
+    addr_tab, off_tab = nt.stream_row_table(rs, bank)
+
     def prepare(base):
-        """Host half: native VM trace + control assembly, compact dtypes
-        (u16 rows/mix, u8 volume shift — the host↔device link matters)."""
+        """Host half: one fused C call per session (VM trace + row
+        assembly + u16/u8 narrowing straight into the batch slices)."""
         rows = np.zeros((n_sessions, n_frames, 8), np.uint16)
         mix = np.zeros((n_sessions, n_frames, 8), np.uint16)
         vol = np.zeros((n_sessions, n_frames), np.uint8)
         for b in range(n_sessions):
             tr = nt.NativeControlTracer(rs)
             tr.soft_boot()
-            s, f, m, v = tr.trace_frames(n_frames,
-                                         session_events(base + b))
-            r_, m_ = nt.assemble_controls_native(rs, bank, s, f, m)
-            rows[b], mix[b] = r_.astype(np.uint16), m_.astype(np.uint16)
-            vol[b] = v.astype(np.uint8)
+            tr.trace_rows(n_frames, addr_tab, off_tab,
+                          rows[b], mix[b], vol[b],
+                          session_events(base + b))
             tr.close()
         return rows, mix, vol
 
-    def serve(n_batches):
-        """Steady-state serving: trace/assemble batch k+1 while the device
-        decodes batch k (dispatch is async; the checksum fetch syncs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def serve(n_batches, ex):
+        """Steady-state serving, three-stage software pipeline: the device
+        decodes batch k while an upload thread pushes batch k+1 over the
+        host↔device link (the transfer releases the GIL, so it genuinely
+        overlaps) and the main thread traces batch k+2.  Dispatch is
+        async; the checksum fetch syncs."""
         total = 0
         pend = None
-        nxt = prepare(0)
+        up = ex.submit(lambda a: [jnp.asarray(x) for x in a], prepare(0))
         for k in range(n_batches):
-            args = [jnp.asarray(a) for a in nxt]
+            args = up.result()
             fut = fn(*args)
+            if k + 1 < n_batches:
+                up = ex.submit(lambda a: [jnp.asarray(x) for x in a],
+                               prepare((k + 1) * n_sessions))
             if pend is not None:
                 total += int(pend)
-            nxt = prepare((k + 1) * n_sessions) if k + 1 < n_batches \
-                else None
             pend = fut
         return total + int(pend)
 
-    serve(1)                              # compile + warm
+    ex = ThreadPoolExecutor(1)
+
+    serve(1, ex)                          # compile + warm
     n_batches = max(2, iters)
     t0 = time.perf_counter()
-    serve(n_batches)
+    serve(n_batches, ex)
     dt = time.perf_counter() - t0
+    ex.shutdown()
     return n_batches * n_sessions * n_frames * 240 / 31250.0 / dt
 
 

@@ -14,6 +14,7 @@
 // DCSDecoderNative.cpp:89-306 (main loop), :848-1228 (track VM),
 // :3042-3135 (mixing levels), :3250-3291 (volume), :3297-3437 (IRQ2).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -692,6 +693,49 @@ int dcstr_trace(void* h, int n_frames, const int32_t* ev_frame,
                           out_mix + static_cast<size_t>(f) * NCH,
                           out_vshift + f))
             return -2;
+    }
+    return 0;
+}
+
+// Fused trace + control assembly for the serving path: trace n_frames
+// and emit device-ready rows directly — row id via binary search of the
+// sorted stream-address table (addr_tab -> off_tab, row base of each
+// stream in the host's dense StreamBank), narrowed in place to the
+// u16/u16/u8 link dtypes the device batch uses.  Replaces the
+// per-session numpy assembly pass, the largest host term in end-to-end
+// session serving.  Returns 0; -2 on a ResetError-class fault; -3 if a
+// traced stream address is missing from the table.
+int dcstr_trace_rows(void* h, int n_frames, const int32_t* ev_frame,
+                     const uint8_t* ev_byte, int n_ev,
+                     const int64_t* addr_tab, const int32_t* off_tab,
+                     int n_tab, uint16_t* out_rows, uint16_t* out_mix,
+                     uint8_t* out_vshift) {
+    Tracer* t = static_cast<Tracer*>(h);
+    int e = 0;
+    int32_t s[NCH], fi[NCH], m[NCH], v;
+    for (int f = 0; f < n_frames; ++f) {
+        while (e < n_ev && ev_frame[e] == f) {
+            t->write_port(ev_byte[e]);
+            ++e;
+        }
+        while (!t->port_queue.empty()) t->irq2();
+        if (!t->main_loop(s, fi, m, &v)) return -2;
+        uint16_t* rr = out_rows + static_cast<size_t>(f) * NCH;
+        uint16_t* mm = out_mix + static_cast<size_t>(f) * NCH;
+        for (int i = 0; i < NCH; ++i) {
+            if (s[i] < 0) {
+                rr[i] = 0;
+                mm[i] = 0;
+                continue;
+            }
+            const int64_t a = s[i];
+            const int64_t* lo = std::lower_bound(addr_tab, addr_tab + n_tab,
+                                                 a);
+            if (lo == addr_tab + n_tab || *lo != a) return -3;
+            rr[i] = static_cast<uint16_t>(off_tab[lo - addr_tab] + fi[i]);
+            mm[i] = static_cast<uint16_t>(m[i]);
+        }
+        out_vshift[f] = static_cast<uint8_t>(v);
     }
     return 0;
 }

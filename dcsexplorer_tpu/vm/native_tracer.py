@@ -108,11 +108,54 @@ class NativeControlTracer:
             raise rd.ResetError(f"native trace fault ({rc})")
         return out_s, out_f, out_m, out_v
 
+    def trace_rows(self, n, addr_tab, off_tab, out_rows, out_mix, out_vol,
+                   events=None):
+        """Trace n frames and write device-ready controls in place — the
+        fused serving-path call (trace + row assembly + u16/u8 narrowing
+        in one C pass; dcstr_trace_rows in native/src/tracer.cpp).
+
+        addr_tab/off_tab: the sorted stream table from stream_row_table.
+        out_rows/out_mix: C-contiguous uint16 [n, 8]; out_vol: uint8 [n].
+        """
+        ev_frames, ev_bytes = [], []
+        for f in sorted((events or {}).keys()):
+            for b in events[f]:
+                ev_frames.append(f)
+                ev_bytes.append(b & 0xFF)
+        evf = np.asarray(ev_frames, dtype=np.int32)
+        evb = np.asarray(ev_bytes, dtype=np.uint8)
+        p = lambda a: a.ctypes.data_as(C.c_void_p)
+        rc = self._lib.dcstr_trace_rows(
+            self._h, n, p(evf), p(evb), len(ev_frames),
+            p(addr_tab), p(off_tab), len(addr_tab),
+            p(out_rows), p(out_mix), p(out_vol))
+        if rc == -3:
+            raise KeyError("traced stream address missing from the bank")
+        if rc != 0:
+            raise rd.ResetError(f"native trace fault ({rc})")
+
     def read_host_bytes(self, cap=1 << 16):
         out = np.zeros(cap, dtype=np.uint8)
         n = self._lib.dcstr_read_host(
             self._h, out.ctypes.data_as(C.c_void_p), cap)
         return bytes(out[:n].tobytes())
+
+
+def stream_row_table(rom_set, bank):
+    """Sorted (addr [n] int64, row-offset [n] int32) table mapping every
+    bank stream's u24 linear address to its dense row base.
+
+    Host side of NativeControlTracer.trace_rows: built once per ROM,
+    binary-searched in C per traced voice-frame."""
+    from ..rom import tracks as rtracks
+    pairs = {}
+    for linear in rtracks.list_streams(rom_set, rom_set.os_version):
+        ptr = rom_set.make_pointer(linear)
+        mem = ptr.mem.mem if isinstance(ptr.mem, rd.PaddedView) else ptr.mem
+        pairs[int(linear)] = int(bank.offsets[(id(mem), ptr.pos)])
+    addrs = np.asarray(sorted(pairs), dtype=np.int64)
+    offs = np.asarray([pairs[a] for a in addrs.tolist()], dtype=np.int32)
+    return addrs, offs
 
 
 def assemble_controls_native(rom_set, bank, out_s, out_f, out_m):

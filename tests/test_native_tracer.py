@@ -15,7 +15,8 @@ from dcsexplorer_tpu.models import pipeline as pl, romplay
 from dcsexplorer_tpu.refdec import decoder as rd
 from dcsexplorer_tpu.rom import zipload
 from dcsexplorer_tpu.vm.native_tracer import (NativeControlTracer,
-                                              assemble_controls_native)
+                                              assemble_controls_native,
+                                              stream_row_table)
 
 from .test_romgen import _make_spec
 
@@ -85,6 +86,37 @@ def test_native_tracer_matches_python(seed):
     assert (mix_n == mix_p).all(), (
         f"mix diverges at frame {np.argwhere(mix_n != mix_p)[0]}")
     assert nt.read_host_bytes() == bytes(pt.host.rx)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_trace_rows_matches_two_pass(seed):
+    """The fused serving call (dcstr_trace_rows: trace + row assembly +
+    u16/u8 narrowing in one C pass) must equal trace_frames followed by
+    assemble_controls_native."""
+    rs = _rom()
+    bank = romplay.build_rom_bank(rs)
+    rng = np.random.default_rng(seed)
+    n_frames = 400
+    events = _fuzz_events(rng, n_frames, [1, 2, 4, 5, 7])
+
+    t1 = NativeControlTracer(rs, default_volume=0x80)
+    t1.soft_boot()
+    out_s, out_f, out_m, vol = t1.trace_frames(n_frames, events=events)
+    rows, mix = assemble_controls_native(rs, bank, out_s, out_f, out_m)
+
+    addr_tab, off_tab = stream_row_table(rs, bank)
+    rows_f = np.zeros((n_frames, 8), np.uint16)
+    mix_f = np.zeros((n_frames, 8), np.uint16)
+    vol_f = np.zeros(n_frames, np.uint8)
+    t2 = NativeControlTracer(rs, default_volume=0x80)
+    t2.soft_boot()
+    t2.trace_rows(n_frames, addr_tab, off_tab, rows_f, mix_f, vol_f,
+                  events=events)
+
+    assert (rows_f == rows.astype(np.uint16)).all()
+    assert (mix_f == mix.astype(np.uint16)).all()
+    assert (vol_f == vol.astype(np.uint8)).all()
+    assert t2.read_host_bytes() == t1.read_host_bytes()
 
 
 def test_native_tracer_speed():
