@@ -45,6 +45,11 @@ class CompressionParams:
     target_bit_rate: int = 128000
     minimum_dynamic_range: float = 10.0 / 32768.0
     maximum_quantization_error: float = 10.0 / 32768.0
+    # forward transform: "pinv" (production MXU matmul), "butterfly" (the
+    # independent inverse-passes derivation), or "dual" (cross-check both)
+    # — counterpart of the reference's DFTAlgorithmOrig/New pair
+    # (DCSEncoder.cpp:1019-1035)
+    analysis_transform: str = "pinv"
 
 
 # ----------------------------------------------------------------------
@@ -260,7 +265,8 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
                 "No available stream format types match the requested "
                 "encoding parameters")
         return best, frames.shape[0]
-    coefs = analysis.analyze_frames(frames)
+    coefs = analysis.analyze_frames(frames,
+                                    algorithm=params.analysis_transform)
     stream = encode_frames(coefs.astype(np.float32), params)
     return stream, frames.shape[0]
 

@@ -258,3 +258,41 @@ def test_transcode_stream_version_mismatch():
     r94 = float(np.sqrt(np.mean(p94 ** 2)))
     assert r93 > 100
     assert 0.7 < r94 / r93 < 1.4, (r93, r94)
+
+
+def test_alternative_analysis_transform():
+    """The butterfly analysis (the decoder transform's passes inverted in
+    closed form — counterpart of the reference's independent second DFT
+    algorithm, DCSEncoder.cpp:1102-1216) must agree with the production
+    pinv analysis on the transmittable component, and streams encoded with
+    it must round-trip with equivalent quality."""
+    from dcsexplorer_tpu.encoder import analysis as A
+
+    rng = np.random.default_rng(4)
+    coef = (rng.standard_normal((6, 255)) * 2000).astype(np.float32)
+    time = coef @ A.decoder_matrix()
+    # exact-inverse property on the decoder's range
+    rec = A.analyze_frames_butterfly(time)
+    assert np.abs(rec - coef).max() < 0.05
+    # wire-domain agreement on raw (off-range) audio frames
+    raw = rng.standard_normal((4, 256)) * 8000
+    ta = A.analyze_frames(raw) @ A.decoder_matrix()
+    tb = A.analyze_frames_butterfly(raw) @ A.decoder_matrix()
+    assert np.abs(ta - tb).max() < 1e-4 * np.abs(ta).max() + 0.05
+    # "dual" cross-check mode returns the production result
+    assert np.allclose(A.analyze_frames(time, algorithm="dual"),
+                       A.analyze_frames(time))
+
+    pcm = _signal()
+    p_alt = enc.CompressionParams(power_band_cutoff=1.0,
+                                  stream_format_type=0,
+                                  analysis_transform="butterfly")
+    p_std = enc.CompressionParams(power_band_cutoff=1.0,
+                                  stream_format_type=0)
+    s_alt, nf = enc.encode_pcm(pcm, p_alt)
+    s_std, _ = enc.encode_pcm(pcm, p_std)
+    out_alt = _decode_mine(s_alt, nf)
+    out_std = _decode_mine(s_std, nf)
+    _, _, snr_alt = _lag_gain_snr(out_alt, pcm)
+    _, _, snr_std = _lag_gain_snr(out_std, pcm)
+    assert snr_alt > snr_std - 0.5, (snr_alt, snr_std)
