@@ -107,9 +107,10 @@ def _bench_93_family(streams, is_t1, copies, iters):
     mod = decode93a if is_t1 else decode93
     per = []
     n_frames = None
-    for stream in streams:
-        idx = (decode93a.prescan93a(stream, 0) if is_t1
-               else decode93.prescan93(stream, 0))
+    idxs = [(decode93a.prescan93a(s, 0) if is_t1
+             else decode93.prescan93(s, 0)) for s in streams]
+    nwords = max(mod.window_words_needed(i) for i in idxs)
+    for stream, idx in zip(streams, idxs):
         assert n_frames is None or idx.n_frames == n_frames, \
             "bench streams must share a frame count"
         n_frames = idx.n_frames
@@ -128,7 +129,7 @@ def _bench_93_family(streams, is_t1, copies, iters):
         vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
         pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                              dtype=np.uint8).astype(np.int32)
-        per.append((bd.window_rows(jnp.asarray(pool), 10),
+        per.append((bd.window_rows(jnp.asarray(pool), nwords),
                     mod.index_arrays(idx), jnp.asarray(mix),
                     jnp.asarray(vol)))
 

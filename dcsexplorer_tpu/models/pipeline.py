@@ -115,6 +115,7 @@ class StreamBank:
         offsets = {}
         rows93, rows93a = [], []
         total = 1
+        nwords = 1
         for key, si in self.keys.items():
             idx, raw, pos, is93a = self._streams[si]
             bit_base = len(pool) * 8 - pos * 8
@@ -123,9 +124,13 @@ class StreamBank:
             if is93a:
                 a = decode93a.index_arrays(idx, bit_base=bit_base)
                 rows93a.append((total, {k: np.asarray(v) for k, v in a.items()}, F))
+                nwords = max(nwords,
+                             decode93a.window_words_needed(idx, bit_base))
             else:
                 a = decode93.index_arrays(idx, bit_base=bit_base)
                 rows93.append((total, {k: np.asarray(v) for k, v in a.items()}, F))
+                nwords = max(nwords,
+                             decode93.window_words_needed(idx, bit_base))
             offsets[key] = total
             total += F
 
@@ -138,10 +143,11 @@ class StreamBank:
             return {k: jnp.asarray(v) for k, v in out.items()}
 
         self.idx93 = stack(rows93, {
-            "kind": (16,), "width": (16,), "n_samp": (16,),
+            "frame_word": (), "kind": (16,), "width": (16,), "n_samp": (16,),
             "bit_start": (16,), "out_start": (16,), "out_inc": (16,),
             "scale": (16,), "prv_in": (16,), "prv_dl": (16,)})
         self.idx93a = stack(rows93a, {
+            "frame_word": (),
             "bits": (decode93a.N_BANDS,),
             "bit_start": (decode93a.N_BANDS,),
             "scale32": (decode93a.N_BANDS,)})
@@ -149,7 +155,8 @@ class StreamBank:
         self.has93a = bool(rows93a)
         pool += b"\xff" * 8
         pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
-        self.pool_quads = bd.window_rows(jnp.asarray(pool_bytes), 10)
+        # one row gather per frame: rows wide enough for the largest frame
+        self.pool_quads = bd.window_rows(jnp.asarray(pool_bytes), nwords)
         self.offsets = offsets
         return self
 

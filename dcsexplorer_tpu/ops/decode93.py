@@ -170,14 +170,38 @@ def prescan93(mem, pos=0, prefer_native=True):
     return idx
 
 
+def frame_base_bits(idx: Stream93Index):
+    """Per-frame first-bit offsets (stream-relative): frame f's reads all
+    lie in [frame_base[f], end_bit[f]).  Frames are contiguous in the
+    bitstream, so frame_base[f] = end_bit[f-1]; frame 0's base is its
+    first data-band read (or end_bit[0] if the frame carries no data)."""
+    base = np.empty(idx.n_frames, dtype=np.int64)
+    base[1:] = idx.end_bit[:-1]
+    d0 = (idx.kind[0] >= K_DATA0) & (idx.kind[0] <= K_DATA2)
+    base[0] = idx.bit_start[0][d0].min() if d0.any() else idx.end_bit[0]
+    return base
+
+
+def window_words_needed(idx: Stream93Index, bit_base=0):
+    """Static row width (words) so one row gather per FRAME covers every
+    band read of that frame: max over frames of the span from the frame's
+    base word to its end bit."""
+    if idx.n_frames == 0:
+        return 1
+    base = frame_base_bits(idx) + bit_base
+    word = base >> 5
+    span = (idx.end_bit + bit_base) - (word << 5)
+    return int((span.max() + 31) // 32)
+
+
 def decode93_frames(pool_rows, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames' bands into frame buffers [F, 512].
 
     idx_arrays: dict of jnp arrays from a Stream93Index (kind, width, n_samp,
-    bit_start, out_start, out_inc, scale, prv_in, prv_dl) each [F, 16];
-    pool_rows: [W, ≥10] uint32 row windows (band_decode.window_rows(b, 10)
-    — a whole band's samples come out of one 320-bit row gather);
-    mix: [F].
+    bit_start, out_start, out_inc, scale, prv_in, prv_dl each [F, 16], plus
+    frame_word [F]); pool_rows: [W, ≥window_words_needed] uint32 row windows
+    (band_decode.window_rows — the whole FRAME's bands come out of one row
+    gather); mix: [F].
     """
     from . import band_decode as bd
     kind = idx_arrays["kind"]
@@ -201,16 +225,18 @@ def decode93_frames(pool_rows, idx_arrays, mix, fb_prev=None):
     w = width[:, :, None]
     live = i16 < n_samp[:, :, None]
 
-    # fixed-width sample extraction with ONE row gather per BAND: a band's
-    # 16 samples span ≤ 31 + 16·17 = 303 bits, inside one 320-bit
-    # (10-word) row window — gathers are the kernel's dominant cost on
-    # TPU (they scalarize), and this quarters them vs 4-sample quad
-    # groups (which in turn quartered per-sample gathers).  The field
-    # extraction is the shared word-select shifter (quad_extract), pure
-    # fused VPU arithmetic over the gathered row.
+    # fixed-width sample extraction with ONE row gather per FRAME: a
+    # frame's bands are CONTIGUOUS in the bitstream, so a single
+    # window_words_needed-wide row anchored at the frame's base word
+    # serves every band — 16× fewer gathers than one-per-band, which
+    # measured as ~98 of the kernel's 153 ms (gathers scalarize on TPU;
+    # the wider word-select chain in quad_extract is cheap VPU work).
+    # Non-data bands carry bit_start 0: their (negative→uint32-huge)
+    # offsets produce clamped garbage that the `live & kind` mask drops.
     w1 = jnp.maximum(w, 1)
-    rows = pool_rows[bit_start >> 5]                            # [F, 16, NW]
-    d = (bit_start & 31)[:, :, None] + i16 * w                  # [F, 16, 16]
+    fw = idx_arrays["frame_word"]
+    rows = pool_rows[fw][:, None, :]                            # [F, 1, NW]
+    d = (bit_start - (fw[:, None] << 5))[:, :, None] + i16 * w  # [F, 16, 16]
     raw = bd.quad_extract(rows[:, :, None, :], d,
                           jnp.broadcast_to(w1, d.shape))
     raw = raw & ((1 << w1) - 1)
@@ -287,6 +313,8 @@ def decode93_frames(pool_rows, idx_arrays, mix, fb_prev=None):
 def index_arrays(idx: Stream93Index, bit_base=0):
     """Stream93Index → jnp arrays dict (bit offsets shifted by bit_base)."""
     return {
+        "frame_word": jnp.asarray((frame_base_bits(idx) + bit_base) >> 5,
+                                  jnp.int32),
         "kind": jnp.asarray(idx.kind, jnp.int32),
         "width": jnp.asarray(idx.width, jnp.int32),
         "n_samp": jnp.asarray(idx.n_samp, jnp.int32),

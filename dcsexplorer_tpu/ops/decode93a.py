@@ -129,8 +129,30 @@ def prescan93a(mem, pos=0, prefer_native=True):
     return idx
 
 
+def frame_base_bits(idx: Stream93aIndex):
+    """Per-frame first-bit offsets (stream-relative); see
+    decode93.frame_base_bits."""
+    base = np.empty(idx.n_frames, dtype=np.int64)
+    base[1:] = idx.end_bit[:-1]
+    d0 = idx.bits[0] > 0
+    base[0] = idx.bit_start[0][d0].min() if d0.any() else idx.end_bit[0]
+    return base
+
+
+def window_words_needed(idx: Stream93aIndex, bit_base=0):
+    """Static row width (words) for the one-gather-per-frame kernel."""
+    if idx.n_frames == 0:
+        return 1
+    base = frame_base_bits(idx) + bit_base
+    word = base >> 5
+    span = (idx.end_bit + bit_base) - (word << 5)
+    return int((span.max() + 31) // 32)
+
+
 def index_arrays(idx: Stream93aIndex, bit_base=0):
     return {
+        "frame_word": jnp.asarray((frame_base_bits(idx) + bit_base) >> 5,
+                                  jnp.int32),
         "bits": jnp.asarray(idx.bits, jnp.int32),
         "bit_start": jnp.asarray(idx.bit_start + bit_base, jnp.int32),
         "scale32": jnp.asarray(idx.scale32, jnp.int32),
@@ -140,9 +162,9 @@ def index_arrays(idx: Stream93aIndex, bit_base=0):
 def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
     """Device decode of F frames into frame buffers [F, 512].
 
-    pool_quads: [W, ≥4] uint32 row windows (band_decode.window_rows);
-    mix: [F].  All band output spans are static, so the result assembles
-    by slicing — no scatter.
+    pool_quads: [W, ≥window_words_needed] uint32 row windows
+    (band_decode.window_rows); mix: [F].  All band output spans are
+    static, so the result assembles by slicing — no scatter.
     """
     from . import band_decode as bd
     bits = idx_arrays["bits"]
@@ -158,14 +180,16 @@ def decode93a_frames(pool_quads, idx_arrays, mix, fb_prev=None):
         & (w > 0)
     w1 = jnp.maximum(w, 1)
 
-    # fixed-width samples: ONE quad-ROW gather per band serves all
-    # fourteen inputs (93a widths are <= 6 bits via the pair table, so
-    # start offset 31 + 14*6 = 115 bits stays in-row) — one gather per
-    # band instead of one per sample.  Only the first 4 words of the
-    # (wider, shared) row windows are fetched.
-    quad = pool_quads[bit_start >> 5, :4]           # [F, 18, 4]
-    d = (bit_start & 31)[:, :, None] + s_in * w1    # [F, 18, 14]
-    raw = bd.quad_extract(quad[:, :, None, :], d, jnp.broadcast_to(
+    # fixed-width samples: ONE row gather per FRAME serves all 18 bands —
+    # the frame's bands are contiguous in the bitstream, so a
+    # window_words_needed-wide row anchored at the frame's base word
+    # covers every read (gathers scalarize on TPU; the wider word-select
+    # chain is cheap VPU work).  Skipped bands (bits 0) carry bit_start 0:
+    # their clamped garbage is dropped by the `live` mask.
+    fw = idx_arrays["frame_word"]
+    rows = pool_quads[fw][:, None, :]               # [F, 1, NW]
+    d = (bit_start - (fw[:, None] << 5))[:, :, None] + s_in * w1
+    raw = bd.quad_extract(rows[:, :, None, :], d, jnp.broadcast_to(
         w1, d.shape))
     raw = raw & ((1 << w1) - 1)                     # unsigned
 

@@ -250,7 +250,8 @@ def _device_decode93(stream, n_frames):
     vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8, dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_rows(jnp.asarray(pool), 10)
+    wwords = bd.window_rows(jnp.asarray(pool),
+                            decode93.window_words_needed(idx))
     arrays = decode93.index_arrays(idx)
 
     def pipe(ww, arrs, mixv, volv):
@@ -311,7 +312,8 @@ def _device_decode93a(stream, n_frames):
 
     pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                          dtype=np.uint8).astype(np.int32)
-    wwords = bd.window_rows(jnp.asarray(pool), 10)
+    wwords = bd.window_rows(jnp.asarray(pool),
+                            decode93a.window_words_needed(idx))
     arrays = decode93a.index_arrays(idx)
 
     def pipe(ww, arrs, mixv, volv):
