@@ -108,6 +108,7 @@ class ADSP2105:
         self.ifc = 0
         self.irq_latch = [0] * 5
         self.irq_state = [0] * 5
+        self.speedup = None     # (entry_pc, exit_pc, handler) — emu/speedup.py
         self.stopped = False    # TRAP/IDLE encountered (host turn)
 
         self.pm = [0] * 0x4000  # 24-bit program words
@@ -1095,10 +1096,25 @@ class ADSP2105:
         return True
 
     def run(self, max_steps):
-        """Run until TRAP/IDLE or the step budget is exhausted."""
+        """Run until TRAP/IDLE or the step budget is exhausted.
+
+        When the fast-mode hook is armed (emu/speedup.py), reaching the
+        transform-region entry executes the region natively and resumes at
+        its exit, mirroring the native core's accelerator."""
         self.stopped = False
         n = 0
-        while n < max_steps and self.step():
+        su = self.speedup
+        if su is None:
+            while n < max_steps and self.step():
+                n += 1
+            return n
+        entry, exit_pc, handler = su
+        while n < max_steps:
+            if self.pc == entry:
+                handler(self)
+                self.pc = exit_pc
+            if not self.step():
+                break
             n += 1
         return n
 

@@ -19,10 +19,14 @@ overriding `_initialize`, `main_loop`, `irq2_handler` and
 backends, exactly as the reference base class shares those across its
 native and emulated subclasses.
 
-The PinMame-derived "speedup" mode (hand-translated inner loops,
-reference: DCSDecoderEmu.cpp:644-890) is intentionally not replicated:
-this backend is the strict-mode reference point, and the framework's fast
-path is the TPU pipeline, not the emulator.
+The reference's "speedup" fast mode (PinMame-derived native inner loops,
+reference: DCSDecoderEmu.cpp:644-890) has a counterpart here too: with
+``enable_speedup=True`` the firmware's inverse-transform region is
+detected by opcode signature and executed natively (emu/speedup.py;
+native/src/adsp2105.cpp accelRun) — verified bit-exact against strict
+mode on synthesized-firmware ROMs (tests/test_emu_speedup.py).  Strict
+mode remains the validation oracle, exactly as in the reference
+(DCSExplorer.cpp:1033-1036).
 
 Original DCS ROMs run their own firmware here.  ROM sets produced by the
 framework's compiler carry a synthesized, runnable decoder program
@@ -45,6 +49,10 @@ INCOMPATIBLE_ROM = (
     "The emulator was unable to find required data in the ROM. The ROM "
     "image might be invalid, or it might contain a version of the DCS "
     "software that's not compatible with this emulator.")
+NO_SPEEDUP = (
+    "The emulator was unable to find the decoder transform code in this "
+    "ROM's program, so the \"speedup\" fast mode can't be used.  The ROM "
+    "might still work with the strict-mode emulator backend.")
 
 
 def load_boot_words(src, ofs=0):
@@ -68,9 +76,11 @@ class EmulatedDecoder(rd.ReferenceDecoder):
     name = "ADSP-2105 emulator"
 
     def __init__(self, host=None, max_steps_per_pass=200_000_000,
-                 use_native=None):
+                 use_native=None, enable_speedup=False):
         super().__init__(host)
         self.max_steps = max_steps_per_pass
+        self.enable_speedup = enable_speedup
+        self.speedup_info = None
         self.cpu = None
         self.native_cpu = False
         if use_native is not False:
@@ -211,6 +221,10 @@ class EmulatedDecoder(rd.ReferenceDecoder):
                 lambda v: self.host.receive_data_port(v & 0xFF),
                 self._set_rom_bank)
             cpu.clear_autobuffer()
+            cpu.set_speedup(0)          # disarm any previous install
+        else:
+            cpu.speedup = None
+        self.speedup_info = None
         cpu.reset()
         cpu.pm = [0] * 0x4000
         cpu.dm = [0] * 0x4000
@@ -284,6 +298,16 @@ class EmulatedDecoder(rd.ReferenceDecoder):
         self.set_master_volume(self.default_volume)
         self.data_port_queue.clear()
         self.last_data_port_byte = 0
+
+        # fast mode: locate the transform region and arm the native
+        # accelerator (reference: DCSDecoderEmu.cpp:289-325)
+        if self.enable_speedup:
+            from .speedup import install
+            self.speedup_info = install(self)
+            if self.speedup_info is None:
+                self.error_message = NO_SPEEDUP
+                return False
+
         if self.native_cpu:
             nab = self.cpu.autobuffer
             if nab.base is not None:

@@ -68,6 +68,9 @@ def _bind(lib):
                                         C.c_int32]
     lib.adsp_rword_pgm.restype = C.c_uint32
     lib.adsp_rword_pgm.argtypes = [C.c_void_p, C.c_uint32]
+    lib.adsp_set_speedup.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int,
+                                     C.c_void_p, C.c_int]
+    lib.adsp_accel_run.argtypes = [C.c_void_p, C.c_int, C.c_void_p, C.c_int]
     _sigs = lib
     return lib
 
@@ -199,6 +202,20 @@ class NativeADSP2105:
     def set_autobuffer(self, base, length, step):
         self.lib.adsp_set_autobuffer(
             self.h, -1 if base is None else int(base), int(length), int(step))
+
+    def set_speedup(self, kind, entry=0, exit_pc=0, geom=()):
+        """Arm (kind > 0) or disarm (kind <= 0) the decoder accelerator
+        (emu/speedup.py; native/src/adsp2105.cpp accelRun)."""
+        arr = np.asarray(list(geom) + [0] * (8 - len(geom)), dtype=np.uint16)
+        self.lib.adsp_set_speedup(self.h, int(kind), int(entry), int(exit_pc),
+                                  arr.ctypes.data_as(C.c_void_p), len(geom))
+
+    def accel_run(self, kind, geom):
+        """Run one accelerator region directly on the current DM/PM state
+        (unit-test entry)."""
+        arr = np.asarray(list(geom), dtype=np.uint16)
+        self.lib.adsp_accel_run(self.h, int(kind),
+                                arr.ctypes.data_as(C.c_void_p), len(geom))
 
     def read_dm_strided(self, base, step, n):
         out = np.zeros(n, dtype=np.uint16)

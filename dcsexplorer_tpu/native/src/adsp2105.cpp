@@ -43,6 +43,10 @@ enum { PC_EMPTY = 0x01, PC_OVER = 0x02, COUNT_EMPTY = 0x04, COUNT_OVER = 0x08,
 
 enum { HW_PORT_ONLY = 1, HW_DCS93 = 2, HW_DCS95 = 3 };
 
+// decoder-accelerator kinds (emu/speedup.py mirrors these)
+enum { ACCEL_SYNTH94 = 1, ACCEL_SYNTH93 = 2,
+       ACCEL_ORIG94 = 3, ACCEL_ORIG93 = 4 };
+
 inline int32_t s16(int64_t v) {
     v &= M16;
     return v & 0x8000 ? static_cast<int32_t>(v) - 0x10000
@@ -113,6 +117,17 @@ struct Adsp {
     WritePortFn cb_write_port;
     SetBankFn cb_set_bank;
 
+    // decoder accelerator ("speedup" fast mode): when pc reaches su_pc,
+    // the firmware's inverse-transform region executes natively and pc
+    // jumps to su_exit.  Counterpart of the reference's PinMame speedup
+    // patches (reference: DCSDecoderEmu.cpp:289-325, 644-889), except the
+    // replacement code here reuses this framework's bit-exact transform
+    // semantics (refdec/transform.py) rather than a hand translation.
+    int32_t su_pc;               // entry pc (-1 = disabled)
+    int32_t su_exit;
+    int32_t su_kind;             // ACCEL_* below
+    uint16_t su_geom[8];
+
     // ------------------------------------------------------------------
     void init() {
         memset(this, 0, sizeof(*this));
@@ -123,6 +138,9 @@ struct Adsp {
         hw = 0;
         ab_base = -1;
         ab_step = 1;
+        su_pc = -1;
+        su_exit = -1;
+        su_kind = 0;
     }
 
     void reset() {
@@ -1123,10 +1141,378 @@ struct Adsp {
         return !(hw >= HW_DCS93 && reset_request);
     }
 
+    // ------------------------------------------------------------------
+    // decoder accelerator ("speedup" fast mode)
+    //
+    // Native execution of the firmware's inverse-transform region, the
+    // overwhelming share of the decode loop's instruction count.  The
+    // replacement reproduces the region's net DM effect bit-for-bit
+    // (asserted end-to-end against strict mode by tests/test_emu_speedup.py
+    // and differentially against the Python handlers in emu/speedup.py).
+    //
+    // Fixed-point semantics mirror refdec/fixed.py: 1.15 products <<1 into
+    // a 64-bit accumulator, +0x8000 rounding with the chip's convergent-
+    // rounding quirk (bit 16 cleared when the just-added product's low
+    // word is exactly $8000), wrap or AR-saturation per region.
+
+    // round((a*b)<<1 ± (c*d)<<1) high word — mulss_mr + multiply_round_*
+    static inline int32_t accMulRound(int32_t a, int32_t b, int32_t c,
+                                      int32_t d, bool sub) {
+        uint64_t mr = static_cast<uint64_t>(
+            static_cast<int64_t>(a * b) << 1);
+        int64_t prod = static_cast<int64_t>(c * d) << 1;
+        mr = sub ? mr - static_cast<uint64_t>(prod)
+                 : mr + static_cast<uint64_t>(prod);
+        mr += 0x8000;
+        if ((prod & 0xFFFF) == 0x8000) mr &= ~0x10000ull;
+        return s16(mr >> 16);
+    }
+
+    // round((a*b)<<1) — multiply_and_round (MUL_RND), high word
+    static inline int32_t accMulRnd(int32_t a, int32_t b) {
+        int64_t prod = static_cast<int64_t>(a * b) << 1;
+        uint64_t mr = static_cast<uint64_t>(prod) + 0x8000;
+        if ((prod & 0xFFFF) == 0x8000) mr &= ~0x10000ull;
+        return s16(mr >> 16);
+    }
+
+    static inline uint16_t accSat16(int32_t v) {
+        return static_cast<uint16_t>(v < -32768 ? -32768
+                                                : v > 32767 ? 32767 : v);
+    }
+
+    // in-place decimation IFFT shared by every region: `iters` halving
+    // iterations over dm[buf..], partition size starting at psz0, twiddles
+    // from csin/ccos[part].  saturate selects AR-saturating u-updates
+    // (the 94x family) vs wrapping (1993 family / original-ROM regions).
+    // refdec/transform.py:78-103 (94) and :203-228 (93).
+    void accelIFFT(uint32_t buf, int iters, uint32_t psz0,
+                   const int32_t* csin, const int32_t* ccos, bool saturate) {
+        int nPart = 2;
+        uint32_t psz = psz0;
+        for (int it = 0; it < iters; ++it) {
+            uint32_t p0 = buf, p1 = buf + psz;
+            for (int part = 0; part < nPart; ++part) {
+                int32_t cs = csin[part], cc = ccos[part];
+                for (uint32_t k = 0; k < psz / 2; ++k) {
+                    int32_t are = s16(dm[p1 & 0x3FFF]);
+                    int32_t aim = s16(dm[(p1 + 1) & 0x3FFF]);
+                    int32_t tre = accMulRound(are, cc, aim, cs, true);
+                    int32_t tim = accMulRound(aim, cc, are, cs, false);
+                    int32_t ure = s16(dm[p0 & 0x3FFF]);
+                    int32_t uim = s16(dm[(p0 + 1) & 0x3FFF]);
+                    if (saturate) {
+                        dm[p0 & 0x3FFF] = accSat16(ure - tre);
+                        dm[(p0 + 1) & 0x3FFF] = accSat16(uim - tim);
+                        dm[p1 & 0x3FFF] = accSat16(ure + tre);
+                        dm[(p1 + 1) & 0x3FFF] = accSat16(uim + tim);
+                    } else {
+                        dm[p0 & 0x3FFF] = static_cast<uint16_t>(ure - tre);
+                        dm[(p0 + 1) & 0x3FFF] = static_cast<uint16_t>(uim - tim);
+                        dm[p1 & 0x3FFF] = static_cast<uint16_t>(ure + tre);
+                        dm[(p1 + 1) & 0x3FFF] = static_cast<uint16_t>(uim + tim);
+                    }
+                    p0 += 2;
+                    p1 += 2;
+                }
+                p0 += psz;
+                p1 += psz;
+            }
+            nPart <<= 1;
+            psz >>= 1;
+        }
+    }
+
+    // synthesized OS94/OS95 firmware: the whole `transform` prologue —
+    // center fold, three pre-passes, 6-iteration IFFT, volume shift
+    // (compiler/firmware94.py _emit_transform; semantics
+    // refdec/transform.py:27-107).  geom: fb, vshift, t_sin, t_cos, t_br.
+    void accelSynth94() {
+        uint32_t fb = su_geom[0], vsa = su_geom[1];
+        uint32_t ts = su_geom[2], tc = su_geom[3], tb = su_geom[4];
+        // fold fb[$80]/fb[$81]: ×(−1) via ×$8000 (unsaturated negate)
+        int32_t half = -32768;
+        dm[(fb + 0x80) & 0x3FFF] = static_cast<uint16_t>(
+            (static_cast<int64_t>(s16(dm[(fb + 0x80) & 0x3FFF]) * half) << 1)
+            >> 16);
+        int32_t neg = -s16(dm[(fb + 0x81) & 0x3FFF]);
+        dm[(fb + 0x81) & 0x3FFF] = static_cast<uint16_t>(
+            (static_cast<int64_t>(s16(neg) * half) << 1) >> 16);
+        // pre-pass 1: center/ends fold, scaled by $8000 (AR saturating)
+        uint32_t p0 = fb, p1 = fb + 0x100;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t x0 = s16(dm[p0 & 0x3FFF]), x1 = s16(dm[(p0 + 1) & 0x3FFF]);
+            int32_t y0 = s16(dm[p1 & 0x3FFF]), y1 = s16(dm[(p1 + 1) & 0x3FFF]);
+            dm[p0 & 0x3FFF] = static_cast<uint16_t>(
+                (static_cast<int64_t>(s16(accSat16(x0 + y0)) * half) << 1) >> 16);
+            dm[p1 & 0x3FFF] = static_cast<uint16_t>(
+                (static_cast<int64_t>(s16(accSat16(x0 - y0)) * half) << 1) >> 16);
+            dm[(p0 + 1) & 0x3FFF] = static_cast<uint16_t>(
+                (static_cast<int64_t>(s16(accSat16(x1 - y1)) * half) << 1) >> 16);
+            dm[(p1 + 1) & 0x3FFF] = static_cast<uint16_t>(
+                (static_cast<int64_t>(s16(accSat16(x1 + y1)) * half) << 1) >> 16);
+            p0 += 2;
+            p1 -= 2;
+        }
+        // pre-pass 2: complex twiddle fold with bit-reversed coefficients
+        uint32_t i0 = 2, i1 = 0;
+        uint32_t p4 = fb, p5 = fb + 0x100;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t c0 = s16(dm[(ts + dm[(tb + i0) & 0x3FFF]) & 0x3FFF]);
+            int32_t c1 = s16(dm[(ts + dm[(tb + i1) & 0x3FFF]) & 0x3FFF]);
+            int32_t x0 = s16(dm[p4 & 0x3FFF]), x1 = s16(dm[(p4 + 1) & 0x3FFF]);
+            int32_t xn0 = s16(dm[p5 & 0x3FFF]), xn1 = s16(dm[(p5 + 1) & 0x3FFF]);
+            int32_t prod0 = accMulRound(xn1, c1, xn0, c0, true);
+            int32_t prod1 = accMulRound(xn1, c0, xn0, c1, false);
+            dm[p4 & 0x3FFF] = accSat16(prod1 + x0);
+            dm[(p4 + 1) & 0x3FFF] = accSat16(prod0 + x1);
+            dm[p5 & 0x3FFF] = accSat16(x0 - prod1);
+            dm[(p5 + 1) & 0x3FFF] = accSat16(prod0 - x1);
+            p4 += 2;
+            p5 -= 2;
+            i0 += 4;
+            i1 += 4;
+        }
+        // pre-pass 3: butterfly halves (saturating)
+        p0 = fb;
+        p1 = fb + 0x80;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t x0 = s16(dm[p0 & 0x3FFF]), x1 = s16(dm[(p0 + 1) & 0x3FFF]);
+            int32_t y0 = s16(dm[p1 & 0x3FFF]), y1 = s16(dm[(p1 + 1) & 0x3FFF]);
+            dm[p0 & 0x3FFF] = accSat16(x0 + y0);
+            dm[(p0 + 1) & 0x3FFF] = accSat16(x1 + y1);
+            dm[p1 & 0x3FFF] = accSat16(x0 - y0);
+            dm[(p1 + 1) & 0x3FFF] = accSat16(x1 - y1);
+            p0 += 2;
+            p1 += 2;
+        }
+        int32_t csin[64], ccos[64];
+        for (int k = 0; k < 64; ++k) {
+            csin[k] = s16(dm[(ts + k) & 0x3FFF]);
+            ccos[k] = s16(dm[(tc + k) & 0x3FFF]);
+        }
+        accelIFFT(fb, 6, 0x40, csin, ccos, true);
+        // volume normalization: fb[i] >>= volShift (arithmetic)
+        int32_t vs = s16(dm[vsa & 0x3FFF]);
+        for (int k = 0; k < 0x100; ++k) {
+            uint32_t a = (fb + k) & 0x3FFF;
+            dm[a] = static_cast<uint16_t>(s16(dm[a]) >> vs);
+        }
+        // the region's register exit contract, which downstream firmware
+        // may consume before rewriting: M3 = last IFFT partition size,
+        // M7 = −3 (pre-pass 2), SE = −volShift; AR saturation netted off
+        m[3] = 2;
+        m[7] = -3;
+        core.se = static_cast<uint32_t>(-vs) & M16;
+        setMstat(mstat & ~M_SATURATE);
+    }
+
+    // synthesized OS93a/OS93b firmware: sqrt magnitude fixup, 256→512
+    // expansion, 7-iteration IFFT, volume shift + bit-reversed extraction
+    // (compiler/firmware93.py _emit_transform93; semantics
+    // refdec/transform.py:145-234).  geom: fb, vshift, t_sin, t_cos, t_br.
+    void accelSynth93() {
+        uint32_t fb = su_geom[0], vsa = su_geom[1];
+        uint32_t ts = su_geom[2], tc = su_geom[3], tb = su_geom[4];
+        // --- sqrt magnitude fixup of element 0 (refdec :145-184)
+        int32_t ar = s16(dm[fb & 0x3FFF]);
+        bool asFlag = ar < 0;
+        if (asFlag) ar = s16(-ar);
+        int32_t f1 = s16(dm[(fb + 1) & 0x3FFF]);
+        uint64_t mr = static_cast<uint64_t>(
+            (static_cast<int64_t>(f1 * f1) << 1)
+            + (static_cast<int64_t>(ar * ar) << 1));
+        uint32_t sr = static_cast<uint32_t>(mr & M32);
+        // normalize32: EXP + NORM (refdec/fixed.py)
+        int exponent = 0;
+        {
+            uint32_t x = sr;
+            if (x & 0x80000000u) {
+                while (x & 0x40000000u) { --exponent; x = (x << 1) & M32; }
+            } else {
+                while (exponent > -31 && !(x & 0x40000000u)) {
+                    --exponent;
+                    x = (x << 1) & M32;
+                }
+            }
+            if (exponent <= -32) sr = 0;
+            else if (exponent < 0) sr = (sr << -exponent) & M32;
+        }
+        ar = s16(sr >> 16);
+        if (ar != 0) {
+            mr = 0x0D490000ull;
+            mr += static_cast<uint64_t>(static_cast<int64_t>(0x5D1D * ar) << 1);
+            int32_t mf = accMulRnd(ar, ar);
+            mr += static_cast<uint64_t>(static_cast<int64_t>(-22035 * mf) << 1);
+            mf = accMulRnd(ar, mf);
+            mr += static_cast<uint64_t>(static_cast<int64_t>(0x46D6 * mf) << 1);
+            mf = accMulRnd(ar, mf);
+            mr += static_cast<uint64_t>(static_cast<int64_t>(-8790 * mf) << 1);
+            mf = accMulRnd(ar, mf);
+            mr += static_cast<uint64_t>(static_cast<int64_t>(0x072D * mf) << 1);
+            if (exponent & 1) {
+                int64_t prod = static_cast<int64_t>(
+                    s16(mr >> 16) * 0x5A82) << 1;
+                mr = static_cast<uint64_t>(prod) + 0x8000;
+                if ((prod & 0xFFFF) == 0x8000) mr &= ~0x10000ull;
+                exponent += 1;
+            }
+            exponent = exponent / 2 + 1;   // even here: trunc == floor
+            int32_t v32 = static_cast<int32_t>(mr & M32);
+            uint32_t shifted = exponent >= 0
+                ? (static_cast<uint32_t>(v32) << exponent) & M32
+                : (exponent > -32
+                       ? static_cast<uint32_t>(v32 >> -exponent)
+                       : (v32 < 0 ? M32 : 0));
+            ar = s16(shifted >> 16);
+            if (asFlag) ar = s16(-ar);
+        }
+        dm[fb & 0x3FFF] = static_cast<uint16_t>(ar);
+        dm[(fb + 0x100) & 0x3FFF] = static_cast<uint16_t>(ar);
+        dm[(fb + 1) & 0x3FFF] = 0;
+        dm[(fb + 0x101) & 0x3FFF] = 0;
+        // --- expand 256 → 512 (refdec :187-201), wrapping adds
+        uint32_t i0 = fb + 2, i1 = fb + 0xFE, i2 = fb + 0x102, i3 = fb + 0x1FE;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t xr = s16(dm[i0 & 0x3FFF]), xi = s16(dm[(i0 + 1) & 0x3FFF]);
+            int32_t yr = s16(dm[i1 & 0x3FFF]), yi = s16(dm[(i1 + 1) & 0x3FFF]);
+            dm[i0 & 0x3FFF] = static_cast<uint16_t>(xr + yr);
+            dm[i1 & 0x3FFF] = static_cast<uint16_t>(xr + yr);
+            dm[i2 & 0x3FFF] = static_cast<uint16_t>(xr - yr);
+            dm[i3 & 0x3FFF] = static_cast<uint16_t>(yr - xr);
+            dm[(i2 + 1) & 0x3FFF] = static_cast<uint16_t>(xi + yi);
+            dm[(i3 + 1) & 0x3FFF] = static_cast<uint16_t>(xi + yi);
+            dm[(i0 + 1) & 0x3FFF] = static_cast<uint16_t>(xi - yi);
+            dm[(i1 + 1) & 0x3FFF] = static_cast<uint16_t>(yi - xi);
+            i0 += 2;
+            i1 -= 2;
+            i2 += 2;
+            i3 -= 2;
+        }
+        // --- 7-iteration IFFT over 512 entries, unsaturated
+        int32_t csin[128], ccos[128];
+        for (int k = 0; k < 128; ++k) {
+            csin[k] = s16(dm[(ts + k) & 0x3FFF]);
+            ccos[k] = s16(dm[(tc + k) & 0x3FFF]);
+        }
+        accelIFFT(fb, 7, 0x80, csin, ccos, false);
+        // --- volume shift + bit-reversed extraction into the odd slots,
+        // in place and sequential (the aliasing is part of the semantics)
+        int32_t vs = s16(dm[vsa & 0x3FFF]);
+        uint32_t i4 = fb + 1;
+        for (int k = 0; k < 0x100; ++k) {
+            uint32_t src = (fb + dm[(tb + k) & 0x3FFF]) & 0x3FFF;
+            dm[i4 & 0x3FFF] = static_cast<uint16_t>(s16(dm[src]) >> vs);
+            i4 += 2;
+        }
+        // register exit contract: the overlap-add that follows walks the
+        // odd fb slots with M3 = 2 (set before the extraction loop)
+        m[3] = 2;
+        core.se = static_cast<uint32_t>(-vs) & M16;
+    }
+
+    // original 1994+ ROM firmware: butterfly halves + 6-iteration IFFT +
+    // volume multiply, all wrapping — the region the reference's
+    // DCSSpeedup1994 replaces (reference: DCSDecoderEmu.cpp:644-757).
+    // geom: ram1 (twiddles: sin at +0, cos at +$80), ram2 (the 256-word
+    // work buffer), volume variable address.
+    void accelOrig94() {
+        uint32_t r1 = su_geom[0], r2 = su_geom[1], va = su_geom[2];
+        uint32_t p0 = r2, p1 = r2 + 0x80;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t x0 = s16(dm[p0 & 0x3FFF]), x1 = s16(dm[(p0 + 1) & 0x3FFF]);
+            int32_t y0 = s16(dm[p1 & 0x3FFF]), y1 = s16(dm[(p1 + 1) & 0x3FFF]);
+            dm[p0 & 0x3FFF] = static_cast<uint16_t>(x0 + y0);
+            dm[(p0 + 1) & 0x3FFF] = static_cast<uint16_t>(x1 + y1);
+            dm[p1 & 0x3FFF] = static_cast<uint16_t>(x0 - y0);
+            dm[(p1 + 1) & 0x3FFF] = static_cast<uint16_t>(x1 - y1);
+            p0 += 2;
+            p1 += 2;
+        }
+        int32_t csin[64], ccos[64];
+        for (int k = 0; k < 64; ++k) {
+            csin[k] = s16(dm[(r1 + k) & 0x3FFF]);
+            ccos[k] = s16(dm[(r1 + 0x80 + k) & 0x3FFF]);
+        }
+        accelIFFT(r2, 6, 0x40, csin, ccos, false);
+        int32_t vol = dm[va & 0x3FFF];
+        if (vol > 0x8000) vol = 0x8000;
+        for (int k = 0; k < 0x100; ++k) {
+            uint32_t a = (r2 + k) & 0x3FFF;
+            dm[a] = static_cast<uint16_t>((s16(dm[a]) * vol) >> 15);
+        }
+    }
+
+    // original 1993 ROM firmware: 256→512 expansion + 7-iteration IFFT
+    // (twiddles from PM, top 16 bits) + bit-reversed volume-multiplied
+    // extraction — the region the reference's DCSSpeedup1993 replaces
+    // (reference: DCSDecoderEmu.cpp:759-889).  geom: work buffer base,
+    // volume variable address, PM sin base, PM cos base.
+    void accelOrig93() {
+        uint32_t fb = su_geom[0], va = su_geom[1];
+        uint32_t ps = su_geom[2], pc_ = su_geom[3];
+        // region prologue: mirror the center elements, zero the imaginaries
+        dm[(fb + 0x100) & 0x3FFF] = dm[fb & 0x3FFF];
+        dm[(fb + 1) & 0x3FFF] = 0;
+        dm[(fb + 0x101) & 0x3FFF] = 0;
+        uint32_t i0 = fb + 2, i1 = fb + 0xFE, i2 = fb + 0x102, i3 = fb + 0x1FE;
+        for (int k = 0; k < 0x40; ++k) {
+            int32_t xr = s16(dm[i0 & 0x3FFF]), xi = s16(dm[(i0 + 1) & 0x3FFF]);
+            int32_t yr = s16(dm[i1 & 0x3FFF]), yi = s16(dm[(i1 + 1) & 0x3FFF]);
+            dm[i0 & 0x3FFF] = static_cast<uint16_t>(xr + yr);
+            dm[i1 & 0x3FFF] = static_cast<uint16_t>(xr + yr);
+            dm[i2 & 0x3FFF] = static_cast<uint16_t>(xr - yr);
+            dm[i3 & 0x3FFF] = static_cast<uint16_t>(yr - xr);
+            dm[(i2 + 1) & 0x3FFF] = static_cast<uint16_t>(xi + yi);
+            dm[(i3 + 1) & 0x3FFF] = static_cast<uint16_t>(xi + yi);
+            dm[(i0 + 1) & 0x3FFF] = static_cast<uint16_t>(xi - yi);
+            dm[(i1 + 1) & 0x3FFF] = static_cast<uint16_t>(yi - xi);
+            i0 += 2;
+            i1 -= 2;
+            i2 += 2;
+            i3 -= 2;
+        }
+        setMstat(0);                     // the region's own MSTAT reset
+        int32_t csin[128], ccos[128];
+        for (int k = 0; k < 128; ++k) {
+            csin[k] = s16(pm[(ps + k) & 0x3FFF] >> 8);
+            ccos[k] = s16(pm[(pc_ + k) & 0x3FFF] >> 8);
+        }
+        accelIFFT(fb, 7, 0x80, csin, ccos, false);
+        // bit-reversed, volume-multiplied extraction into the odd slots
+        // (reads land on even slots only, so order cannot alias)
+        int32_t vol = dm[va & 0x3FFF];
+        if (vol > 0x8000) vol = 0x8000;
+        uint32_t i4 = fb + 1;
+        for (int k = 0; k < 0x100; ++k) {
+            // 9-bit reversal of k via the 14-bit table: rev14(k << 5)
+            uint32_t src = (fb + T.reverse[(k << 5) & 0x3FFF]) & 0x3FFF;
+            dm[i4 & 0x3FFF] = static_cast<uint16_t>(
+                (s16(dm[src]) * vol) >> 15);
+            i4 += 2;
+        }
+    }
+
+    void accelRun(int kind) {
+        switch (kind) {
+            case ACCEL_SYNTH94: accelSynth94(); break;
+            case ACCEL_SYNTH93: accelSynth93(); break;
+            case ACCEL_ORIG94: accelOrig94(); break;
+            case ACCEL_ORIG93: accelOrig93(); break;
+        }
+    }
+
     int64_t run(int64_t max_steps) {
         stopped = false;
         int64_t n = 0;
-        while (n < max_steps && step()) ++n;
+        while (n < max_steps) {
+            if (pc == static_cast<uint32_t>(su_pc)) {
+                accelRun(su_kind);
+                pc = static_cast<uint32_t>(su_exit) & M16;
+            }
+            if (!step()) break;
+            ++n;
+        }
         return n;
     }
 
@@ -1314,6 +1700,31 @@ void adsp_set_autobuffer(void* p, int32_t base, int32_t length,
 
 uint32_t adsp_rword_pgm(void* p, uint32_t addr) {
     return static_cast<Adsp*>(p)->rwordPgm(addr);
+}
+
+// decoder accelerator ("speedup") config: kind < 0 disables
+void adsp_set_speedup(void* p, int kind, int entry_pc, int exit_pc,
+                      const uint16_t* geom, int n_geom) {
+    Adsp* a = static_cast<Adsp*>(p);
+    if (kind <= 0) {
+        a->su_pc = -1;
+        a->su_kind = 0;
+        return;
+    }
+    a->su_kind = kind;
+    a->su_pc = entry_pc;
+    a->su_exit = exit_pc;
+    for (int k = 0; k < 8; ++k)
+        a->su_geom[k] = k < n_geom ? geom[k] : 0;
+}
+
+// run one accelerator region directly on the current DM/PM state
+// (unit-test entry: differential vs the Python handlers in emu/speedup.py)
+void adsp_accel_run(void* p, int kind, const uint16_t* geom, int n_geom) {
+    Adsp* a = static_cast<Adsp*>(p);
+    for (int k = 0; k < 8; ++k)
+        a->su_geom[k] = k < n_geom ? geom[k] : 0;
+    a->accelRun(kind);
 }
 
 }  // extern "C"

@@ -6,16 +6,15 @@ selection logic (reference: DCSExplorer/DCSExplorer.cpp:458-537): backends
 register under a name, and a caller selects one by exact name or unique
 leading prefix (case-insensitive).
 
-The reference registers a third backend — the emulator with the PinMame
-"speedup" patches (hand-translated native IFFT inner loops,
-DCSDecoderEmu.cpp:644-889).  This framework intentionally does not: the
-speedup exists there only because the emulator was the reference's fast
-path, while here the scalar runtime ("native") and the TPU batch pipeline
-fill that role, and the emulator's purpose is strict validation — the
-reference itself always validates in strict mode
-(DCSExplorer.cpp:1033-1036).  A speedup-patched interpreter would also be
-unverifiable in this repo, since the patch signatures only occur in the
-original commercial ROM programs, which are not distributable.
+Like the reference, three backends register: the native decoder, the
+strict-mode emulator, and the emulator with the "speedup" fast mode
+(the reference's counterpart: PinMame-derived native IFFT inner loops,
+DCSDecoderEmu.cpp:644-889; ours: signature-detected transform regions
+executed by the CPU core's accelerator, emu/speedup.py).  The fast mode
+is verifiable in-repo because the synthesized decoding firmware carries
+detectable transform code — tests/test_emu_speedup.py asserts fast ≡
+strict ≡ native PCM.  Validation paths keep using strict mode, exactly
+as the reference does (DCSExplorer.cpp:1033-1036).
 """
 
 
@@ -79,3 +78,6 @@ def _ensure_builtin():
     register("emulator-strict",
              "ADSP-2105 interpreter running original ROM firmware",
              lambda host=None: EmulatedDecoder(host))
+    register("emulator-fast",
+             "ADSP-2105 interpreter with native transform speedup",
+             lambda host=None: EmulatedDecoder(host, enable_speedup=True))

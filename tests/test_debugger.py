@@ -77,14 +77,18 @@ def test_registry_prefix_matching():
     regs = registry.registrations()
     names = [r.name for r in regs]
     assert "native" in names and "emulator-strict" in names
+    assert "emulator-fast" in names
     assert registry.resolve("nat").name == "native"
     assert registry.resolve("EMULATOR-STRICT").name == "emulator-strict"
-    assert registry.resolve("e").name == "emulator-strict"
+    assert registry.resolve("emulator-s").name == "emulator-strict"
+    assert registry.resolve("emulator-f").name == "emulator-fast"
     with pytest.raises(KeyError):
         registry.resolve("gpu")
+    with pytest.raises(registry.AmbiguousBackendError):
+        registry.resolve("e")           # strict vs fast
     dec = registry.create("nat")
     assert type(dec).__name__ == "ReferenceDecoder"
-    dec2 = registry.create("emu")
+    dec2 = registry.create("emulator-st")
     assert type(dec2).__name__ == "EmulatedDecoder"
 
 
