@@ -92,7 +92,7 @@ P_HI P_LO SV_HI SV_LO B_CHI B_CLO B_WHI B_WLO B_NB
 CHB STB OUTB1 FMT PRE0 PRE1 PRE2
 OUTIDX OUTINC OUTCNT BANDNO BTYPE SCODE CURHDR MW CBB REFV ICNT ERRF
 NPART PSIZE HALF LVLC SUM0LO SUM0HI SUM1LO SUM1HI
-WPTR Q_HI Q_LO TMP0 TMP1 TMP2 TMP3 TMP4
+WPTR Q_HI Q_LO TMP0 TMP1 TMP2 TMP3 TMP4 R16 R24
 PRV_IN PRV_DL BSUB REUSE OUTFIX OSTR FBAND""".split()
 
 SYM = {name: SC + k for k, name in enumerate(_SCALARS)}
@@ -337,9 +337,14 @@ def build_decoder_firmware(catalog_ofs=0x4000, hw_version=2,
         a.and_imm(AR, 1)                # offset bit 19
         a.sts("BSEL", AR)
         a.lds(SI, "CURBANK")
-        a.shift_imm(LSHIFT_LO, SI, -7)
+        a.shift_imm(LSHIFT_LO, SI, -8)
         a.mov(AR, SR0)
-        a.and_imm(AR, 0x1C)             # chip select bits
+        a.and_imm(AR, 0x1C)             # chip select = linear[23:21]
+        # (bank13 = linear>>11, so chip lives in bank13[12:10] — bits 2:4
+        # of bank13>>8.  The board pieces linear back together as
+        # (chip<<21)|offset, reference DCSDecoderEmu.cpp:517-519; a -7
+        # shift here would select on linear[22:20] and hit the wrong chip
+        # for any content past U2.)
         a.lds(AY0, "BSEL")
         a.alu(AR, OR, AR, AY0)
         a.st(0x3100, AR)
@@ -556,22 +561,31 @@ def _emit_byte_readers(a):
     # the active stream's bit cursor
     _emit_byte_reader(a, SYM["B_CHI"], SYM["B_CLO"], "bytecur")
 
-    # rd16: big-endian word at the P cursor → AR (clobbers +AX1)
+    # rd16: big-endian word at the P cursor → AR.  Clobbers exactly rd8's
+    # clobber set (AY0, SI, SR, I2) — the first byte is parked in a scalar
+    # across the second rd8 call, NOT in AX1: callers keep live values
+    # there (the command dispatcher holds ch*64 in AX1 across the
+    # next-track-link read, and rd24 holds the pointer high byte).
     a.label("rd16")
     a.call("rd8")
-    a.mov(SI, AR)
-    a.shift_imm(LSHIFT_LO, SI, 8)
-    a.mov(AX1, SR0)
+    a.sts("R16", AR)
     a.call("rd8")
-    a.mov(AY0, AX1)
+    a.lds(SI, "R16")
+    a.shift_imm(LSHIFT_LO, SI, 8)
+    a.mov(AY0, SR0)
     a.alu(AR, OR, AR, AY0)
     a.rts()
 
-    # rd24: AX1 = high byte, AR = low word
+    # rd24: AX1 = high byte, AR = low word.  The high byte is parked in a
+    # scalar across the rd16 call — rd16 itself clobbers AX1 (it builds
+    # the word there), so holding it in AX1 would alias pointers ≥ 64KB
+    # down to (mid<<8 | lo); DM/bank masking made that accidentally
+    # correct below 64KB, which is exactly why only large ROMs broke.
     a.label("rd24")
     a.call("rd8")
-    a.mov(AX1, AR)
+    a.sts("R24", AR)
     a.call("rd16")
+    a.lds(AX1, "R24")
     a.rts()
 
     # ------------------------------------------------------------------

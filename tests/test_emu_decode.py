@@ -205,3 +205,117 @@ def test_emulator_os95_version_query_port():
     for _ in range(480):
         emu.get_next_sample()
     assert bytes(emu.host.rx) == b"\x01\x06"
+
+
+def test_emulator_rom_above_64kb_bit_exact():
+    """Streams, track programs and deferred links placed ABOVE linear
+    $10000: every firmware ROM cursor must carry the pointer's high byte
+    through the bank computation.  Regression for the rd16/rd24 register
+    aliasing bug — the high byte was parked in AX1, which rd16 itself
+    clobbered, and DM/bank masking made the corrupted pointer alias to
+    the correct address exactly when hi == 0 (so small ROMs hid it).
+    Covers type-0/2/3 next-track latching too (ch*64 also lived in AX1
+    across a rd16)."""
+    import numpy as np
+    from dcsexplorer_tpu.compiler import romgen as g
+
+    rng = np.random.default_rng(5)
+    pcm = (rng.standard_normal(240 * 12) * 8000).astype(np.int16)
+    s, _ = encode_pcm(pcm)
+    spec = g.RomSpec(os_version=rd.OS94, num_channels=6)
+    # filler pushes everything that follows past linear $10000
+    spec.streams = {
+        "pad": bytes(bytearray([0, 1, 0x80, 0x80, 0x80]) + bytearray(0x10000)),
+        "s": bytes(s),
+    }
+    spec.tracks = [
+        g.TrackSpec(0, steps=[g.op_end()]),
+        g.TrackSpec(1, channel=0, steps=[
+            g.op_mix(0, 0, 0x64),
+            g.op_play(0, "s", repeat=1),
+            g.op_wait_forever(),
+        ]),
+        # type-2 deferred pointing at track 1 + a trigger track, so the
+        # next-track latch path (channel-block addressing) is exercised
+        g.TrackSpec(2, type=2, channel=1, defer_code=0x0001),
+        g.TrackSpec(3, channel=2, steps=[
+            g.op_start_deferred(1),
+            g.op_end(),
+        ]),
+    ]
+    rs, _ = zipload.load_zip_data(g.RomBuilder(spec).build_zip())
+    assert rs.check() == 1
+    assert rs.track_index_u24(1) > 0x10000, "spec must place tracks high"
+    emu = EmulatedDecoder()
+    nat = rd.ReferenceDecoder()
+    for dec in (emu, nat):
+        dec.load_rom_set(rs)
+        dec.default_volume = 0x80
+        dec.soft_boot()
+    script = {0: [0x00, 0x02],          # latch the type-2 deferral
+              240: [0x00, 0x03],        # trigger it → track 1 plays
+              480: [0x00, 0x01]}
+    n = 10
+    pcm_e = _drive(emu, script, n)
+    pcm_n = _drive(nat, script, n)
+    assert any(v != 0 for v in pcm_n), "native produced silence"
+    diff = [i for i, (a, b) in enumerate(zip(pcm_e, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")
+    assert emu.host.rx == nat.host.rx
+
+
+@pytest.mark.parametrize("os_version", [rd.OS94, rd.OS95])
+def test_emulator_stream_on_u3_bit_exact(os_version):
+    """A stream that spills onto the U3 chip: the firmware's bank writes
+    must carry the chip-select bits.  On the DCS-95 board the chip select
+    is linear[23:21] pieced into DM($3100) bits 4:2 (reference:
+    DCSDecoderEmu.cpp:512-520) — regression for the set_bank95 off-by-one
+    that selected on linear[22:20]; on the original board it rides the
+    16-bit bank at DM($3000)."""
+    import numpy as np
+    from dcsexplorer_tpu.compiler import romgen as g
+    from dcsexplorer_tpu.rom import tracks as rtracks
+
+    rng = np.random.default_rng(6)
+    # ~8KB stream: bigger than the U2 hole the pad leaves, so first-fit
+    # allocation must spill it onto U3
+    pcm = (rng.standard_normal(240 * 30) * 8000).astype(np.int16)
+    s, _ = encode_pcm(pcm)
+    spec = g.RomSpec(os_version=os_version, num_channels=6,
+                     chip_size=0x20000)
+    spec.streams = {
+        "pad": bytes(bytearray([0, 1, 0x80, 0x80, 0x80])
+                     + bytearray(0x14000)),
+        "s": bytes(s),
+    }
+    spec.tracks = [
+        g.TrackSpec(0, steps=[g.op_end()]),
+        g.TrackSpec(1, channel=0, steps=[
+            g.op_mix(0, 0, 0x64),
+            g.op_play(0, "s", repeat=1),
+            g.op_wait_forever(),
+        ]),
+    ]
+    rs, _ = zipload.load_zip_data(g.RomBuilder(spec).build_zip())
+    assert rs.check() == 1
+    infos = rtracks.list_streams(rs, rs.os_version)
+    shift = 21 if os_version == rd.OS95 else 20
+    assert any((a >> shift) & 7 for a in infos), \
+        f"spec must place the stream past U2 (got {[hex(a) for a in infos]})"
+    emu = EmulatedDecoder()
+    nat = rd.ReferenceDecoder()
+    for dec in (emu, nat):
+        dec.load_rom_set(rs)
+        dec.default_volume = 0x80
+        dec.soft_boot()
+    script = {0: [0x00, 0x01]}
+    n = 8
+    pcm_e = _drive(emu, script, n)
+    pcm_n = _drive(nat, script, n)
+    assert any(v != 0 for v in pcm_n), "native produced silence"
+    diff = [i for i, (a, b) in enumerate(zip(pcm_e, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240}): emu={pcm_e[diff[0]]} nat={pcm_n[diff[0]]}")

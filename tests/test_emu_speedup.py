@@ -229,3 +229,52 @@ def test_detect_orig93_geometry():
 
 def test_detect_nothing_in_plain_program():
     assert speedup.detect([0x0D02A3] * 0x200 + [0] * 0x3E00) is None
+
+
+def test_fast_mode_random_command_fuzz():
+    """Randomized command/volume fuzz in lockstep: the fast-mode emulator
+    must track the native decoder sample-for-sample through random track
+    starts, master/channel volume changes and overlapping voices on the
+    full synthetic ROM (the session-fuzz shape, tests/test_session_fuzz.py,
+    pointed at the speedup path)."""
+    from dcsexplorer_tpu.compiler import romgen
+    from .test_romgen import _make_spec
+
+    rs, _ = zipload.load_zip_data(romgen.RomBuilder(_make_spec()).build_zip())
+    assert rs.check() == 1
+    fast = EmulatedDecoder(enable_speedup=True)
+    nat = rd.ReferenceDecoder()
+    for dec in (fast, nat):
+        dec.load_rom_set(rs)
+        dec.default_volume = 0x80
+        dec.soft_boot()
+    assert fast.speedup_info is not None
+
+    rng = np.random.default_rng(11)
+    playable = [1, 2, 4, 5, 7]
+    script = {}
+    f = 0
+    n_frames = 160
+    while f < n_frames - 4:
+        kind = rng.integers(0, 10)
+        if kind < 6:
+            t = int(rng.choice(playable))
+            byts = [(t >> 8) & 0xFF, t & 0xFF]
+        elif kind < 8:
+            v = int(rng.integers(0, 256))
+            byts = [0x55, 0xAA, v, v ^ 0xFF]
+        else:
+            ch = int(rng.integers(0, 6))
+            v = int(rng.integers(0, 256))
+            byts = [0x55, 0xAB + ch, v, v ^ 0xFF]
+        script[f * 240] = byts
+        f += int(rng.integers(2, 25))
+
+    pcm_f = _drive(fast, script, n_frames)
+    pcm_n = _drive(nat, script, n_frames)
+    assert any(v != 0 for v in pcm_n)
+    diff = [i for i, (a, b) in enumerate(zip(pcm_f, pcm_n)) if a != b]
+    assert not diff, (
+        f"{len(diff)} sample mismatches, first at {diff[0]} "
+        f"(frame {diff[0] // 240})")
+    assert fast.host.rx == nat.host.rx
