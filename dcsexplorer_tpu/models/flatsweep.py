@@ -30,14 +30,13 @@ from ..ops import prescan
 from ..ops import transform as tf
 from ..refdec import decoder as rd
 
-_XLAT_TYPE = jnp.asarray(bd._XLAT_TYPE)
-_XLAT_ADJ = jnp.asarray(bd._XLAT_ADJ)
-_BAND_GROUP = jnp.asarray(bd._BAND_GROUP)
-_PREADJ = jnp.asarray(bd._PREADJ)
-_OUT_COUNT = jnp.asarray(bd._OUT_COUNT)
-_SCALE_MANT = jnp.asarray(bd._SCALE_MANT)
-_MAXW = jnp.asarray(bd._MAXW)
-_CB_BASE = jnp.asarray(bd._CB_BASE)
+# Constants used inside traced code MUST be numpy, never eager jax.Arrays:
+# tracing a function that closes over a device array forces a device->host
+# literal fetch at lowering time, and on the axon tunnel the FIRST such
+# fetch permanently downgrades every later host<->device transfer to a
+# synchronous slow path (~30 ms fixed + ~20 MB/s vs ~1 ms + ~1.4 GB/s).
+# tests/test_no_device_consts.py enforces this for every device program.
+_OUT_COUNT = bd._OUT_COUNT                       # numpy [16]
 
 
 def band_controls_dyn(header, fmt_type, sub_type, band_type, band_type_prev):
@@ -51,7 +50,7 @@ def band_controls_dyn(header, fmt_type, sub_type, band_type, band_type_prev):
     active = jnp.cumprod(active.astype(jnp.int32), axis=1).astype(bool)
 
     cur_hdr = hdr & 0x7F
-    out_count = _OUT_COUNT.reshape(1, 16) * jnp.ones_like(band_type)
+    out_count = jnp.asarray(_OUT_COUNT.reshape(1, 16)) * jnp.ones_like(band_type)
     out_inc = jnp.where((cur_hdr & 0x40) != 0, 2, 1)
     out_count = jnp.where(out_inc == 2, out_count // 2, out_count)
 
@@ -161,14 +160,54 @@ def flat_pipeline(pool_words, start_bit, header, fmt_type, sub_type,
     return tf.overlap_resolve_planar(re, im, stream_start)
 
 
+def flat_pipeline_packed(pool_u8, sid, start_bit, bt_u8, mix_u16, vol_u8,
+                         hdr_tab, fmt_tab, sub_tab, n_steps):
+    """The flat sweep from TRANSFER-COMPACT inputs (cold-path shape).
+
+    The host↔device link is the scarce resource on a cold sweep (the
+    tunnel moves ~20-60 MB/s once live), so the upload carries the
+    minimum: the raw byte pool as uint8 (not int32 — 4x), band types as
+    uint8, mix as uint16, volume as uint8, and the 16-byte stream header
+    ONCE per stream (hdr_tab [S,16] + sid [N] instead of a broadcast
+    [N,16] header).  Everything else is DERIVED on device:
+
+      band_type_prev[f] = band_type[f-1] within a stream (zero at stream
+      starts) — so btp never travels;
+      stream_start[f]   = sid[f] != sid[f-1] — so sstart never travels;
+      window rows       = built in-program from the uint8 pool.
+
+    Bit-exact with flat_pipeline on the wide arrays (tests/test_batched).
+    """
+    N = sid.shape[0]
+    pool_words = bd.window_rows_for(pool_u8.astype(jnp.int32), N)
+    sid = sid.astype(jnp.int32)
+    header = hdr_tab.astype(jnp.int32)[sid]
+    fmt_type = fmt_tab.astype(jnp.int32)[sid]
+    sub_type = sub_tab.astype(jnp.int32)[sid]
+    bt = bt_u8.astype(jnp.int32)
+    prev_sid = jnp.concatenate([sid[:1] - 1, sid[:-1]])
+    sstart = sid != prev_sid
+    btp = jnp.where(sstart[:, None],
+                    0, jnp.concatenate([bt[:1], bt[:-1]], axis=0))
+    dense, ctl = decode_flat(pool_words, start_bit.astype(jnp.int32),
+                             header, fmt_type, sub_type, bt, btp, n_steps)
+    fb = bd.dequant_mix(dense, ctl, mix_u16.astype(jnp.int32))
+    re, im = tf.transform94_planar(fb, vol_u8.astype(jnp.int32))
+    return tf.overlap_resolve_planar(re, im, sstart)
+
+
 class FlatSweep:
     """Host-side packing of a whole catalog for the flat pipeline.
 
     Per catalog entry the host runs the native stream indexer (frame
     boundaries, band-type chains) and the native runtime VM trace (mixing
     multipliers, volume shifts), then assembles the per-frame control
-    arrays with vectorized numpy — the whole cold path is a few ms per
-    stream, so end-to-end sweeps are device-bound, not host-bound."""
+    arrays with vectorized numpy.  The host stage runs at ~4,000x
+    realtime on one core; on a COLD end-to-end sweep the binding term is
+    the host->device upload (the axon tunnel moves ~20-60 MB/s once
+    live), which is why the cold path ships the transfer-compact layout
+    (compact_host_arrays + flat_pipeline_packed) and overlaps packing
+    with the upload (bench.py bench_flat94_e2e)."""
 
     def __init__(self, streams, mixing_level=0x64, master_volume=0x67):
         idxs = [prescan.prescan94(s, 0) for s in streams]
@@ -258,6 +297,39 @@ class FlatSweep:
                 jnp.asarray(self.btp), jnp.asarray(self.mix),
                 jnp.asarray(self.vol), jnp.asarray(self.sstart),
                 self.n_steps)
+
+    def compact_host_arrays(self):
+        """Transfer-compact numpy columns for flat_pipeline_packed
+        (requires pack()).  ~4 bytes/pool-byte + ~23 bytes/frame less on
+        the wire than args(); see flat_pipeline_packed."""
+        cols = self._cols
+        S = len(cols)
+        N = self.n_frames_total
+        assert S < (1 << 16), "sid is uint16"
+        sid = np.repeat(np.arange(S, dtype=np.uint16),
+                        [c["fmt"].size for c in cols])
+        hdr_tab = np.stack([c["header"][0] if c["header"].size else
+                            np.zeros(16, np.int32) for c in cols]) \
+            if S else np.zeros((0, 16), np.int32)
+        fmt_tab = np.asarray([int(c["fmt"][0]) if c["fmt"].size else 0
+                              for c in cols], np.uint8)
+        sub_tab = np.asarray([int(c["sub"][0]) if c["sub"].size else 0
+                              for c in cols], np.uint8)
+        assert self.bt.size == 0 or (0 <= self.bt.min()
+                                     and self.bt.max() <= 255), \
+            "band types exceed uint8 — use the wide args() path"
+        assert self.mix.size == 0 or self.mix.max() < (1 << 16)
+        assert self.vol.size == 0 or self.vol.max() < 256
+        assert self.start_bit.size == 0 or self.start_bit.max() < (1 << 31)
+        return dict(
+            pool_u8=self.pool.astype(np.uint8),
+            sid=sid,
+            start_bit=self.start_bit.astype(np.int32),
+            bt_u8=self.bt.astype(np.uint8),
+            mix_u16=self.mix.astype(np.uint16),
+            vol_u8=self.vol.astype(np.uint8),
+            hdr_tab=hdr_tab.astype(np.uint8),
+            fmt_tab=fmt_tab, sub_tab=sub_tab, n_steps=self.n_steps)
 
 
 def run_flat(sweep: FlatSweep):

@@ -75,34 +75,65 @@ class StreamBank:
 
     def decode_all(self):
         """Run the device symbol-decode kernel for every stream; build the
-        global dense-value/slot-control arrays."""
+        global dense-value/slot-control arrays.
+
+        ONE jitted program decodes the whole bank (the flat-sweep symbol
+        kernel with per-frame format columns) and the results STAY on
+        device: no per-stream compile, no device->host fetch.  A fetch
+        here would both serialize the bank build and permanently poison
+        the axon tunnel's fast transfer path (see flatsweep.py notes)."""
         if self.family93:
             return self._build93()
-        vals, scales, totals, offsets = [], [], [], {}
+        from . import flatsweep
+        offsets = {}
+        pool = bytearray()
+        cols = []
         total = 1  # row 0 is the silent dummy row
+        n_steps = 8
         for key, si in self.keys.items():
             idx, raw, pos = self._streams[si]
-            sb = jnp.asarray(raw.astype(np.int32))
+            F = idx.n_frames
             # prescan bit offsets are absolute in mem; raw starts at pos
-            rel_start = (idx.start_bit - pos * 8).astype(np.int32)
-            n_steps = (min(256, (int(prescan.scan_totals(idx).max()) + 7) & ~7)
-                       if idx.n_frames else 8)
-            dense, (scale, tot) = jax.jit(
-                bd.decode_frames94, static_argnums=(3, 4, 7))(
-                sb, jnp.asarray(rel_start), jnp.asarray(idx.header, jnp.int32),
-                int(idx.fmt_type), int(idx.sub_type),
-                jnp.asarray(idx.band_type, jnp.int32),
-                jnp.asarray(idx.band_type_prev, jnp.int32), n_steps)
-            vals.append(np.asarray(dense))
-            scales.append(np.asarray(scale))
-            totals.append(np.asarray(tot))
+            rel_start = (idx.start_bit - pos * 8).astype(np.int64)
+            cols.append(dict(
+                start_bit=(len(pool) * 8 + rel_start).astype(np.int32),
+                header=np.broadcast_to(
+                    np.asarray(idx.header, np.int32), (F, 16)),
+                fmt=np.full(F, int(idx.fmt_type), np.int32),
+                sub=np.full(F, int(idx.sub_type), np.int32),
+                bt=np.asarray(idx.band_type, np.int32),
+                btp=np.asarray(idx.band_type_prev, np.int32)))
+            pool += bytes(raw)
+            if F:
+                n_steps = max(n_steps,
+                              min(256, (int(prescan.scan_totals(idx).max())
+                                        + 7) & ~7))
             offsets[key] = total
-            total += idx.n_frames
-        z = np.zeros((1, 256), dtype=np.int32)
-        self.dense = jnp.asarray(np.concatenate([z] + vals, axis=0))
-        self.scale = jnp.asarray(np.concatenate([z] + scales, axis=0))
-        self.total = jnp.asarray(np.concatenate(
-            [np.zeros(1, np.int32)] + totals, axis=0))
+            total += F
+        pool += b"\xff" * 8
+        cat = lambda k: np.concatenate([c[k] for c in cols]) if cols \
+            else np.zeros((0,), np.int32)
+        N = total - 1
+        pool_bytes = np.frombuffer(bytes(pool), np.uint8).astype(np.int32)
+
+        def build(pool_bytes, start_bit, header, fmt, sub, bt, btp):
+            rows = bd.window_rows_for(pool_bytes, N)
+            dense, (scale, tot) = flatsweep.decode_flat(
+                rows, start_bit, header, fmt, sub, bt, btp, n_steps)
+            z = jnp.zeros((1, 256), jnp.int32)
+            return (jnp.concatenate([z, dense]),
+                    jnp.concatenate([z, scale]),
+                    jnp.concatenate([jnp.zeros(1, jnp.int32), tot]))
+
+        hdr = (np.concatenate([c["header"] for c in cols])
+               if cols else np.zeros((0, 16), np.int32))
+        bt = (np.concatenate([c["bt"] for c in cols])
+              if cols else np.zeros((0, 16), np.int32))
+        btp = (np.concatenate([c["btp"] for c in cols])
+               if cols else np.zeros((0, 16), np.int32))
+        self.dense, self.scale, self.total = jax.jit(build)(
+            pool_bytes, cat("start_bit"), hdr, cat("fmt"), cat("sub"),
+            bt, btp)
         self.offsets = offsets
         return self
 
@@ -156,7 +187,9 @@ class StreamBank:
         pool += b"\xff" * 8
         pool_bytes = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
         # one row gather per frame: rows wide enough for the largest frame
-        self.pool_quads = bd.window_rows(jnp.asarray(pool_bytes), nwords)
+        # (jitted: one program instead of eager op-by-op dispatches)
+        self.pool_quads = jax.jit(bd.window_rows, static_argnums=(1,))(
+            pool_bytes, nwords)
         self.offsets = offsets
         return self
 
@@ -165,40 +198,78 @@ class StreamBank:
         return 1 + sum(
             self._streams[si][0].n_frames for si in self.keys.values())
 
+    def bank_args(self):
+        """The bank's device-resident arrays, to pass as EXPLICIT jit
+        arguments (device-resident args transfer nothing per call).
+
+        Never close a traced function over these: a captured device array
+        is fetched to host at lowering time, and the first device->host
+        fetch permanently downgrades the axon tunnel's transfer path
+        (see models/flatsweep.py notes and tests/test_no_device_consts.py).
+        """
+        if self.family93:
+            return (self.pool_quads, self.idx93, self.idx93a)
+        return (self.dense, self.scale, self.total)
+
+    def decode_fn(self):
+        """The pure session-decode function for this bank's format family:
+        ``fn(bank_args, rows, mix, vol_shift, overlap0=None)`` with no
+        captured arrays (family flags ride as static closure booleans)."""
+        if not self.family93:
+            return device_decode
+        import functools
+        return functools.partial(device_decode93, has93=self.has93,
+                                 has93a=self.has93a)
+
     def jitted(self):
-        """A cached jit of device_decode (reused across sessions so each
-        new session with the same bank skips retracing)."""
-        if not hasattr(self, "_jitted"):
-            self._jitted = jax.jit(self.device_decode)
-        return self._jitted
+        """A cached jit of the session decode (reused across sessions so
+        each new session with the same bank skips retracing); the bank
+        arrays are bound per CALL as device-resident arguments."""
+        if not hasattr(self, "_jit_fn"):
+            self._jit_fn = jax.jit(self.decode_fn())
+        return lambda rows, mix, vol_shift, overlap0=None: self._jit_fn(
+            self.bank_args(), rows, mix, vol_shift,
+            jnp.zeros(16, jnp.int32) if overlap0 is None else overlap0)
 
     def device_decode(self, rows, mix, vol_shift, overlap0=None):
-        """Decode T runtime frames on device for this bank's format family."""
-        if not self.family93:
-            return device_decode((self.dense, self.scale, self.total),
-                                 rows, mix, vol_shift, overlap0)
-        from ..ops import decode93, decode93a
-        rows = jnp.asarray(rows, jnp.int32)
-        mix = jnp.asarray(mix, jnp.int32)
-        vol_shift = jnp.asarray(vol_shift, jnp.int32)
-        Tn = rows.shape[0]
-        if overlap0 is None:
-            overlap0 = jnp.zeros(16, jnp.int32)
-        fb = jnp.zeros((Tn, 512), jnp.int32)
-        for c in range(rd.MAX_CHANNELS):
-            r = rows[:, c]
-            # zero-filled rows of the other kind contribute nothing, so both
-            # kernels chain unconditionally
-            if self.has93:
-                arrs = {k: v[r] for k, v in self.idx93.items()}
-                fb = decode93.decode93_frames(self.pool_quads, arrs,
-                                              mix[:, c], fb_prev=fb)
-            if self.has93a:
-                arrs = {k: v[r] for k, v in self.idx93a.items()}
-                fb = decode93a.decode93a_frames(self.pool_quads, arrs,
-                                                mix[:, c], fb_prev=fb)
-        raw = tf.transform93_raw(fb, vol_shift)
-        return tf.overlap_resolve93(raw, overlap0)
+        """Decode T runtime frames on device for this bank's format family.
+
+        Compat surface: calls the pure function eagerly.  Do NOT wrap this
+        bound method in jax.jit/vmap — it captures the bank arrays; use
+        ``decode_fn()`` + ``bank_args()`` instead."""
+        return self.decode_fn()(self.bank_args(), rows, mix, vol_shift,
+                                overlap0)
+
+
+def device_decode93(bank93, rows, mix, vol_shift, overlap0=None,
+                    has93=True, has93a=True):
+    """93-family session decode; bank93 = (pool_quads, idx93, idx93a)."""
+    from ..ops import decode93, decode93a
+    pool_quads, idx93, idx93a = bank93
+    rows = jnp.asarray(rows, jnp.int32)
+    mix = jnp.asarray(mix, jnp.int32)
+    vol_shift = jnp.asarray(vol_shift, jnp.int32)
+    Tn = rows.shape[0]
+    if overlap0 is None:
+        overlap0 = jnp.zeros(16, jnp.int32)
+    fb = jnp.zeros((Tn, 512), jnp.int32)
+    # rows may carry fewer than MAX_CHANNELS lanes: a dropped lane is
+    # always row 0 (silent) and contributes nothing, so the serving path
+    # can upload only the channels a session actually uses
+    for c in range(rows.shape[-1]):
+        r = rows[:, c]
+        # zero-filled rows of the other kind contribute nothing, so both
+        # kernels chain unconditionally
+        if has93:
+            arrs = {k: v[r] for k, v in idx93.items()}
+            fb = decode93.decode93_frames(pool_quads, arrs,
+                                          mix[:, c], fb_prev=fb)
+        if has93a:
+            arrs = {k: v[r] for k, v in idx93a.items()}
+            fb = decode93a.decode93a_frames(pool_quads, arrs,
+                                            mix[:, c], fb_prev=fb)
+    raw = tf.transform93_raw(fb, vol_shift)
+    return tf.overlap_resolve93(raw, overlap0)
 
 
 def assemble_controls(tracer: ControlTracer, bank: StreamBank):
@@ -232,7 +303,9 @@ def device_decode(bank_arrays, rows, mix, vol_shift, overlap0=None):
         overlap0 = jnp.zeros(16, jnp.int32)
 
     fb = jnp.zeros((Tn, 512), jnp.int32)
-    for c in range(rd.MAX_CHANNELS):
+    # fewer than MAX_CHANNELS lanes allowed: dropped lanes are always
+    # row 0 (active=False) and contribute nothing (serving upload path)
+    for c in range(rows.shape[-1]):
         r = rows[:, c]
         active = r > 0
         ctl = (scale_all[r], total_all[r])
@@ -268,6 +341,6 @@ def decode_standalone(streams, os_version=rd.OS94, default_volume=0x67,
     tracer.trace_frames(n_frames, events=events)
 
     rows, mix, vol = assemble_controls(tracer, bank)
-    pcm, _ = jax.jit(bank.device_decode)(rows, mix, vol)
+    pcm, _ = bank.jitted()(rows, mix, vol)
     pcm = np.asarray(pcm).reshape(-1)
     return ((pcm & 0xFFFF) ^ 0x8000).astype(np.int32) - 0x8000

@@ -133,8 +133,12 @@ def sharded_sessions(mesh, bank, rows, mix, vol_shift):
 
     The serving shape: B independent control traces (sessions) against one
     replicated stream bank.  rows/mix: [B, T, 8]; vol_shift: [B, T].
-    Returns pcm [B, T, 240] (u16 storage), bit-identical to vmapping
-    bank.device_decode on one device (tests/test_parallel.py).
+    Returns pcm [B, T, 240] (u16 storage), bit-identical to vmapping the
+    bank decode on one device (tests/test_parallel.py).
+
+    The bank arrays ride as explicit (replicated) jit arguments — never as
+    closure captures, which would fetch them to host at trace time (see
+    models/pipeline.StreamBank.bank_args).
     """
     import jax
 
@@ -145,13 +149,18 @@ def sharded_sessions(mesh, bank, rows, mix, vol_shift):
         mix = jnp.pad(mix, ((0, pad), (0, 0), (0, 0)))
         vol_shift = jnp.pad(vol_shift, ((0, pad), (0, 0)))
     row_sh = NamedSharding(mesh, P("batch"))
+    repl = NamedSharding(mesh, P())
+    dec = bank.decode_fn()
 
-    def run(r, m, v):
-        pcm, _ = jax.vmap(lambda a, b, c: bank.device_decode(a, b, c))(
-            r, m, v)
+    def run(bank_args, r, m, v):
+        pcm, _ = jax.vmap(lambda a, b, c: dec(bank_args, a, b, c))(r, m, v)
         return pcm
 
-    fn = jax.jit(run, in_shardings=(row_sh,) * 3, out_shardings=row_sh)
+    bank_args = bank.bank_args()
+    repl_tree = jax.tree.map(lambda _: repl, bank_args)
+    fn = jax.jit(run, in_shardings=(repl_tree,) + (row_sh,) * 3,
+                 out_shardings=row_sh)
     with mesh:
-        return fn(jnp.asarray(rows, jnp.int32), jnp.asarray(mix, jnp.int32),
+        return fn(bank_args, jnp.asarray(rows, jnp.int32),
+                  jnp.asarray(mix, jnp.int32),
                   jnp.asarray(vol_shift, jnp.int32))[:B]

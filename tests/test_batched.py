@@ -73,3 +73,23 @@ def test_flat_sweep_bit_exact_vs_oracle():
         got = pcm[pos:pos + nf * 240]
         assert np.array_equal(golden, got), f"flat sweep stream {k} mismatch"
         pos += nf * 240
+
+
+def test_flat_packed_matches_wide():
+    """The transfer-compact packed pipeline (uint8 pool, derived
+    btp/sstart, per-stream header table) is bit-identical to the wide
+    flat pipeline on a mixed-format catalog."""
+    from dcsexplorer_tpu.models import flatsweep
+    from dcsexplorer_tpu.ops import band_decode as bd
+    import jax.numpy as jnp
+
+    streams = _asset_streams() * 2          # repeated entries: sid must
+    sw = flatsweep.FlatSweep(streams).pack()  # still mark stream starts
+    wide = flatsweep.run_flat(sw)
+
+    ca = sw.compact_host_arrays()
+    n_steps = ca.pop("n_steps")
+    fn = jax.jit(flatsweep.flat_pipeline_packed, static_argnums=(9,))
+    pcm = np.asarray(fn(*[jnp.asarray(v) for v in ca.values()], n_steps))
+    got = (((pcm & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16).reshape(-1)
+    assert np.array_equal(wide, got)

@@ -131,9 +131,11 @@ def test_sharded_sessions_bit_exact():
     mixes = np.stack(mixes)
     vols = np.stack(vols)
 
-    single = np.asarray(jax.jit(jax.vmap(
-        lambda a, b_, c: bank.device_decode(a, b_, c)[0]))(
-        jnp.asarray(rows), jnp.asarray(mixes), jnp.asarray(vols)))
+    dec = bank.decode_fn()
+    single = np.asarray(jax.jit(lambda ba, r, m, v: jax.vmap(
+        lambda a, b_, c: dec(ba, a, b_, c)[0])(r, m, v))(
+        bank.bank_args(), jnp.asarray(rows), jnp.asarray(mixes),
+        jnp.asarray(vols)))
 
     mesh = sweep.make_flat_mesh()
     sharded = np.asarray(sweep.sharded_sessions(
