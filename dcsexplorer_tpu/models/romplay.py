@@ -31,6 +31,127 @@ def build_rom_bank(rom_set):
     return bank
 
 
+def compress_controls(rows, mix, max_segments=255):
+    """Control-plane compression for batched session serving.
+
+    The VM trace's per-frame controls are massively redundant on the
+    wire: a playing channel's dense-row id ADVANCES BY 1 each frame
+    (wrapping at loop points), an idle channel holds row 0, and the mix
+    multiplier is piecewise constant between commands/fade steps.  Each
+    (session, channel) lane is therefore a handful of LINEAR SEGMENTS
+    ``row[t] = base + slope·(t-f0)`` with a constant mix — so instead of
+    dense uint16 ``rows``/``mix`` [S,T,C] (the dominant upload on the
+    serving path; the tunnel link is the scarce resource, see
+    ARCHITECTURE.md "axon transfer contract") the batch ships only the
+    tiny per-segment parameter tables, ~25x fewer bytes, and the device
+    derives the per-frame segment index from f0 and reconstructs the
+    exact dense arrays (reconstruct_from_segments — bit-identical,
+    asserted in tests/test_romplay.py).
+
+    This is the generic numpy path (any dense rows/mix).  The serving
+    bench never materializes dense arrays at all: the native runtime VM
+    emits the same segments during the trace
+    (NativeControlTracer.trace_segs — segmentation-identical, asserted
+    in tests/test_romplay.py).
+
+    rows/mix: [S, T, C] integer arrays.  Returns a dict of numpy arrays
+    (f0 u16, base u16, slope u8, mixv u16 — all [S,C,E]; unused f0
+    entries hold 0xFFFF) or None if any lane needs more than
+    ``max_segments`` segments (callers fall back to the dense upload).
+    """
+    rows = np.asarray(rows, np.int64)
+    mix = np.asarray(mix, np.int64)
+    S, T, C = rows.shape
+    assert T < 0xFFFF and rows.max(initial=0) < (1 << 16) \
+        and mix.max(initial=0) < (1 << 16)
+    d = rows[:, 1:] - rows[:, :-1]                      # [S, T-1, C]
+    ok = (d == 0) | (d == 1)
+    same_mix = mix[:, 1:] == mix[:, :-1]
+    brk = ~ok | ~same_mix                               # segment starts at t
+    brk[:, 1:] |= d[:, 1:] != d[:, :-1]                 # slope change
+    seg_id = np.zeros((S, T, C), np.int64)
+    np.cumsum(brk, axis=1, out=seg_id[:, 1:])
+    n_seg = seg_id[:, -1] + 1                           # [S, C]
+    E = int(n_seg.max())
+    if E > max_segments:
+        return None
+    # first frame of each segment, per lane (vectorized scatter)
+    f0 = np.full((S, C, E), 0xFFFF, np.int64)
+    is_start = np.ones((S, T, C), bool)
+    is_start[:, 1:] = brk
+    s_i, t_i, c_i = np.nonzero(is_start)
+    e_i = seg_id[s_i, t_i, c_i]
+    f0[s_i, c_i, e_i] = t_i
+    base = np.zeros((S, C, E), np.int64)
+    base[s_i, c_i, e_i] = rows[s_i, t_i, c_i]
+    mixv = np.zeros((S, C, E), np.int64)
+    mixv[s_i, c_i, e_i] = mix[s_i, t_i, c_i]
+    # slope = the first step's delta inside the segment (0 for 1-frame
+    # segments: no step reads it)
+    slope = np.zeros((S, C, E), np.int64)
+    in_seg = ~is_start[:, 1:]                           # step t-1->t stays
+    s_j, t_j, c_j = np.nonzero(in_seg)
+    # only the FIRST continuing step per segment defines the slope; later
+    # ones are equal by construction, so last-writer-wins is fine
+    slope[s_j, c_j, seg_id[s_j, t_j + 1, c_j]] = d[s_j, t_j, c_j]
+    return dict(f0=f0.astype(np.uint16), base=base.astype(np.uint16),
+                slope=slope.astype(np.uint8), mixv=mixv.astype(np.uint16))
+
+
+def pack_controls_wire(comp, vol):
+    """Flatten a compressed control batch + volume into ONE uint8 wire
+    buffer (the tunnel charges ~30-40 ms FIXED per transfer once live,
+    so five small puts cost more than their bytes; see ARCHITECTURE.md
+    "axon transfer contract").  unpack_controls_wire inverts it on
+    device from the static shapes."""
+    vol = np.asarray(vol, np.uint8)
+    parts = [comp["slope"].reshape(-1), vol.reshape(-1),
+             comp["f0"].astype("<u2").view(np.uint8).reshape(-1),
+             comp["base"].astype("<u2").view(np.uint8).reshape(-1),
+             comp["mixv"].astype("<u2").view(np.uint8).reshape(-1)]
+    return np.concatenate(parts)
+
+
+def unpack_controls_wire(buf, S, T, C, E):
+    """Device-side inverse of pack_controls_wire.
+
+    Returns (f0/base/mixv i32 [S,C,E], slope [S,C,E], vol [S,T])."""
+    import jax.numpy as jnp
+    from jax import lax
+    n_par = S * C * E
+    o = 0
+    slope = buf[o:o + n_par].reshape(S, C, E); o += n_par
+    vol = buf[o:o + S * T].reshape(S, T); o += S * T
+    u16 = lambda a: lax.bitcast_convert_type(
+        a.reshape(-1, 2), jnp.uint16).astype(jnp.int32)
+    f0 = u16(buf[o:o + 2 * n_par]).reshape(S, C, E); o += 2 * n_par
+    base = u16(buf[o:o + 2 * n_par]).reshape(S, C, E); o += 2 * n_par
+    mixv = u16(buf[o:o + 2 * n_par]).reshape(S, C, E)
+    return f0, base, slope, mixv, vol
+
+
+def reconstruct_from_segments(f0, base, slope, mixv, n_frames):
+    """Device-side inverse of compress_controls / trace_segs: exact dense
+    rows/mix from the per-segment parameter tables alone.
+
+    The per-frame segment index never travels: f0 is sorted ascending
+    per lane with unused entries at 0xFFFF, so the active segment at
+    frame t is ``count(f0 <= t) - 1`` (segment 0 always starts at 0).
+
+    f0/base/slope/mixv: [S,C,E] int.  Returns (rows [S,T,C] i32,
+    mix [S,T,C] i32).
+    """
+    import jax.numpy as jnp
+    t = jnp.arange(n_frames, dtype=jnp.int32)                 # [T]
+    le = f0[:, :, None, :] <= t[None, None, :, None]          # [S,C,T,E]
+    e = jnp.sum(le.astype(jnp.int32), axis=-1) - 1            # [S,C,T]
+    pick = lambda p: jnp.transpose(jnp.take_along_axis(
+        p.astype(jnp.int32), e, axis=2), (0, 2, 1))           # [S,T,C]
+    tt = t[None, :, None]
+    rows = pick(base) + pick(slope) * (tt - pick(f0))
+    return rows, pick(mixv)
+
+
 def play_session(rom_set, events, n_frames, bank=None, default_volume=0x67):
     """Run a command-driven session on device.
 

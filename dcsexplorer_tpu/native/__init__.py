@@ -100,6 +100,11 @@ def get_lib():
     lib.dcstr_trace_rows.argtypes = [C.c_void_p, C.c_int, C.c_void_p,
                                      C.c_void_p, C.c_int, C.c_void_p,
                                      C.c_void_p, C.c_int] + [C.c_void_p] * 3
+    lib.dcstr_trace_segs.restype = C.c_int
+    lib.dcstr_trace_segs.argtypes = [C.c_void_p, C.c_int, C.c_void_p,
+                                     C.c_void_p, C.c_int, C.c_void_p,
+                                     C.c_void_p, C.c_int, C.c_int,
+                                     C.c_int] + [C.c_void_p] * 5
     lib.dcstr_read_host.restype = C.c_int
     lib.dcstr_read_host.argtypes = [C.c_void_p, C.c_void_p, C.c_int]
     lib.dcs94_emit_with_codes.restype = C.c_int64

@@ -740,6 +740,116 @@ int dcstr_trace_rows(void* h, int n_frames, const int32_t* ev_frame,
     return 0;
 }
 
+// Fused trace + control-plane SEGMENT emission — the compressed serving
+// path (models/romplay.py).  A playing lane's dense-row id advances by
+// 0/1 per frame and its mix multiplier is piecewise constant, so each
+// (channel) lane collapses to a few linear segments
+// ``row[t] = base + slope*(t - f0)`` with a constant mix.  This emits
+// those segments DURING the trace — no dense [T,C] arrays are ever
+// built on the host, and the wire carries only the tiny per-segment
+// parameter tables (the device derives the per-frame segment index from
+// f0; romplay.reconstruct_from_segments).
+//
+// Outputs (caller-allocated, C-contiguous): f0/base/mixv uint16
+// [n_ch, max_segs], slope uint8 [n_ch, max_segs], vshift uint8
+// [n_frames].  Unused f0 entries are left at 0xFFFF so a device-side
+// ``f0 <= t`` count needs no segment-count column.  Returns 0; -2 on a
+// ResetError-class fault; -3 on a stream address missing from the
+// table; -4 if any lane needs more than max_segs segments (caller falls
+// back to the dense upload); -5 if a lane >= n_ch goes live (the caller
+// promised those channels idle).
+int dcstr_trace_segs(void* h, int n_frames, const int32_t* ev_frame,
+                     const uint8_t* ev_byte, int n_ev,
+                     const int64_t* addr_tab, const int32_t* off_tab,
+                     int n_tab, int n_ch, int max_segs,
+                     uint16_t* out_f0, uint16_t* out_base,
+                     uint8_t* out_slope, uint16_t* out_mixv,
+                     uint8_t* out_vshift) {
+    Tracer* t = static_cast<Tracer*>(h);
+    if (n_ch < 1 || n_ch > NCH || max_segs < 1 || n_frames >= 0xFFFF)
+        return -1;
+    std::memset(out_f0, 0xFF,
+                static_cast<size_t>(n_ch) * max_segs * sizeof(uint16_t));
+    std::memset(out_base, 0,
+                static_cast<size_t>(n_ch) * max_segs * sizeof(uint16_t));
+    std::memset(out_mixv, 0,
+                static_cast<size_t>(n_ch) * max_segs * sizeof(uint16_t));
+    std::memset(out_slope, 0, static_cast<size_t>(n_ch) * max_segs);
+    struct Lane {
+        int nseg = 0;
+        bool have_slope = false;
+        int slope = 0;
+        int prev_row = 0;
+        int seg_mix = 0;
+        bool have_prev_d = false;
+        int prev_d = 0;
+    } lane[NCH];
+    int e = 0;
+    int32_t s[NCH], fi[NCH], m[NCH], v;
+    for (int f = 0; f < n_frames; ++f) {
+        while (e < n_ev && ev_frame[e] == f) {
+            t->write_port(ev_byte[e]);
+            ++e;
+        }
+        while (!t->port_queue.empty()) t->irq2();
+        if (!t->main_loop(s, fi, m, &v)) return -2;
+        for (int i = 0; i < NCH; ++i) {
+            int row = 0, mix = 0;
+            if (s[i] >= 0) {
+                if (i >= n_ch) return -5;
+                const int64_t a = s[i];
+                const int64_t* lo = std::lower_bound(addr_tab,
+                                                     addr_tab + n_tab, a);
+                if (lo == addr_tab + n_tab || *lo != a) return -3;
+                row = off_tab[lo - addr_tab] + fi[i];
+                mix = m[i];
+            }
+            if (i >= n_ch) continue;
+            Lane& L = lane[i];
+            uint16_t* f0 = out_f0 + static_cast<size_t>(i) * max_segs;
+            uint16_t* ba = out_base + static_cast<size_t>(i) * max_segs;
+            uint8_t* sl = out_slope + static_cast<size_t>(i) * max_segs;
+            uint16_t* mx = out_mixv + static_cast<size_t>(i) * max_segs;
+            if (f == 0) {
+                f0[0] = 0;
+                ba[0] = static_cast<uint16_t>(row);
+                mx[0] = static_cast<uint16_t>(mix);
+                L = Lane{1, false, 0, row, mix, false, 0};
+            } else {
+                const int d = row - L.prev_row;
+                // break rule IDENTICAL to compress_controls (the delta
+                // comparison is local — it crosses segment boundaries),
+                // so native and numpy segmentation match table-for-table
+                const bool brk = mix != L.seg_mix || d < 0 || d > 1
+                                 || (L.have_prev_d && d != L.prev_d);
+                if (!brk) {
+                    if (!L.have_slope) {
+                        // first continuing step pins the segment slope
+                        // (all later in-segment deltas equal it)
+                        L.have_slope = true;
+                        L.slope = d;
+                        sl[L.nseg - 1] = static_cast<uint8_t>(d);
+                    }
+                } else {
+                    if (L.nseg >= max_segs) return -4;
+                    f0[L.nseg] = static_cast<uint16_t>(f);
+                    ba[L.nseg] = static_cast<uint16_t>(row);
+                    mx[L.nseg] = static_cast<uint16_t>(mix);
+                    ++L.nseg;
+                    L.have_slope = false;
+                    L.slope = 0;
+                    L.seg_mix = mix;
+                }
+                L.have_prev_d = true;
+                L.prev_d = d;
+                L.prev_row = row;
+            }
+        }
+        out_vshift[f] = static_cast<uint8_t>(v);
+    }
+    return 0;
+}
+
 int dcstr_read_host(void* h, uint8_t* out, int cap) {
     Tracer* t = static_cast<Tracer*>(h);
     int n = static_cast<int>(t->host_rx.size());

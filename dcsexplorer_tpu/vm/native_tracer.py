@@ -134,6 +134,47 @@ class NativeControlTracer:
         if rc != 0:
             raise rd.ResetError(f"native trace fault ({rc})")
 
+    def trace_segs(self, n, addr_tab, off_tab, out_f0, out_base,
+                   out_slope, out_mixv, out_vol, events=None):
+        """Trace n frames and emit control-plane SEGMENTS in place — the
+        compressed serving-path call (dcstr_trace_segs in
+        native/src/tracer.cpp): each channel lane becomes linear
+        segments ``row[t] = base + slope*(t-f0)`` with a constant mix,
+        written straight into the caller's batch slices.  No dense [n,8]
+        control arrays are built anywhere on the host.
+
+        out_f0/out_base/out_mixv: C-contiguous uint16 [n_ch, E];
+        out_slope: uint8 [n_ch, E]; out_vol: uint8 [n].  Unused f0
+        entries are left 0xFFFF (device-side segment lookup needs no
+        count column).  Returns True, or False if any lane needs more
+        than E segments (caller falls back to the dense trace_rows
+        upload).  Segmentation matches models/romplay.compress_controls
+        exactly (asserted in tests/test_romplay.py).
+        """
+        ev_frames, ev_bytes = [], []
+        for f in sorted((events or {}).keys()):
+            for b in events[f]:
+                ev_frames.append(f)
+                ev_bytes.append(b & 0xFF)
+        evf = np.asarray(ev_frames, dtype=np.int32)
+        evb = np.asarray(ev_bytes, dtype=np.uint8)
+        n_ch, E = out_f0.shape
+        p = lambda a: a.ctypes.data_as(C.c_void_p)
+        rc = self._lib.dcstr_trace_segs(
+            self._h, n, p(evf), p(evb), len(ev_frames),
+            p(addr_tab), p(off_tab), len(addr_tab), n_ch, E,
+            p(out_f0), p(out_base), p(out_slope), p(out_mixv), p(out_vol))
+        if rc == -4:
+            return False
+        if rc == -5:
+            raise ValueError(f"a channel >= {n_ch} went live during the "
+                             "segment trace — widen the lane count")
+        if rc == -3:
+            raise KeyError("traced stream address missing from the bank")
+        if rc != 0:
+            raise rd.ResetError(f"native trace fault ({rc})")
+        return True
+
     def read_host_bytes(self, cap=1 << 16):
         out = np.zeros(cap, dtype=np.uint8)
         n = self._lib.dcstr_read_host(

@@ -164,3 +164,117 @@ def test_93a_mixed_rom_autoplay_device_lockstep():
     golden = np.array(golden, dtype=np.int16)
     assert np.abs(pcm).max() > 0
     assert np.array_equal(golden, pcm)
+
+
+def test_control_plane_compression_roundtrip():
+    """Serving control-plane compression (compress_controls /
+    reconstruct_from_segments) is exact on real VM traces, the native
+    tracer's in-trace segment emission (trace_segs) matches it
+    segment-for-segment, the wire pack/unpack round-trips, and the
+    decoded PCM through the compressed path is bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from dcsexplorer_tpu.models import pipeline as pl
+    from dcsexplorer_tpu.vm import native_tracer as nt
+
+    rs = _rom_set()
+    bank = romplay.build_rom_bank(rs)
+    B, T, C = 3, 120, 6
+
+    def events(b):
+        ev = {}
+        for f in (3 * b, 60):
+            ev[f] = []
+            for t in range(1, 4):
+                ev[f] += [0x00, t]
+        return ev
+
+    rows, mixes, vols = [], [], []
+    for b in range(B):
+        tr = pl.ControlTracer()
+        tr.load_rom_set(rs)
+        tr.soft_boot()
+
+        def mk(ev_bytes):
+            def ev(d):
+                for x in ev_bytes:
+                    d.write_data_port(x)
+            return ev
+        tr.trace_frames(T, events={f: mk(bs)
+                                   for f, bs in events(b).items()})
+        r, m, v = pl.assemble_controls(tr, bank)
+        rows.append(r[:, :C])
+        mixes.append(m[:, :C])
+        vols.append(v)
+    rows = np.stack(rows)
+    mixes = np.stack(mixes)
+    vols = np.stack(vols)
+
+    comp = romplay.compress_controls(rows, mixes)
+    assert comp is not None
+    # this trace is deliberately fade-heavy (each fade step changes the
+    # mix multiplier -> one segment per step); steady-music serving
+    # lanes compress to a handful of segments
+    E = comp["f0"].shape[-1]
+    assert E <= 128
+
+    r2, m2 = romplay.reconstruct_from_segments(
+        *[jnp.asarray(comp[k], jnp.int32)
+          for k in ("f0", "base", "slope", "mixv")], T)
+    assert np.array_equal(np.asarray(r2), rows)
+    assert np.array_equal(np.asarray(m2), mixes)
+
+    # the native tracer emits the SAME segments during the trace (no
+    # dense arrays on the host at all)
+    if nt.available():
+        addr_tab, off_tab = nt.stream_row_table(rs, bank)
+        for b in range(B):
+            f0 = np.zeros((C, E), np.uint16)
+            base = np.zeros((C, E), np.uint16)
+            slope = np.zeros((C, E), np.uint8)
+            mixv = np.zeros((C, E), np.uint16)
+            vol = np.zeros(T, np.uint8)
+            tr = nt.NativeControlTracer(rs)
+            tr.soft_boot()
+            ok = tr.trace_segs(T, addr_tab, off_tab, f0, base, slope,
+                               mixv, vol, events(b))
+            tr.close()
+            assert ok
+            assert np.array_equal(f0, comp["f0"][b])
+            assert np.array_equal(base, comp["base"][b])
+            assert np.array_equal(slope, comp["slope"][b])
+            assert np.array_equal(mixv, comp["mixv"][b])
+            assert np.array_equal(vol, vols[b].astype(np.uint8))
+
+    # wire pack/unpack round-trips
+    buf = romplay.pack_controls_wire(comp, vols)
+    f0w, bw, sw, mw, vw = jax.jit(
+        romplay.unpack_controls_wire, static_argnums=(1, 2, 3, 4))(
+        jnp.asarray(buf), B, T, C, E)
+    assert np.array_equal(np.asarray(f0w), comp["f0"].astype(np.int64))
+    assert np.array_equal(np.asarray(bw), comp["base"].astype(np.int64))
+    assert np.array_equal(np.asarray(sw), comp["slope"])
+    assert np.array_equal(np.asarray(mw), comp["mixv"].astype(np.int64))
+    assert np.array_equal(np.asarray(vw), vols.astype(np.uint8))
+
+    # end-to-end: compressed-upload decode == dense-upload decode
+    dec = bank.decode_fn()
+
+    def dense_fn(ba, r, m, v):
+        pcm, _ = jax.vmap(lambda a, b_, c: dec(ba, a, b_, c))(r, m, v)
+        return pcm
+
+    def comp_fn(ba, buf, v):
+        f0, base, slope, mixv, _ = romplay.unpack_controls_wire(
+            buf, B, T, C, E)
+        r, m = romplay.reconstruct_from_segments(f0, base, slope, mixv, T)
+        pcm, _ = jax.vmap(lambda a, b_, c: dec(ba, a, b_, c))(r, m, v)
+        return pcm
+
+    ba = bank.bank_args()
+    want = np.asarray(jax.jit(dense_fn)(
+        ba, jnp.asarray(rows, jnp.int32), jnp.asarray(mixes, jnp.int32),
+        jnp.asarray(vols, jnp.int32)))
+    got = np.asarray(jax.jit(comp_fn)(
+        ba, jnp.asarray(buf), jnp.asarray(vols, jnp.int32)))
+    assert np.array_equal(want, got)
