@@ -52,6 +52,24 @@ def _read(names):
     return out
 
 
+def _stats(times, audio_s=None):
+    """Spread statistics over repeated timed runs (ms, plus ×realtime
+    derived from the mean when audio_s is given)."""
+    ts = sorted(times)
+    n = len(ts)
+    q = lambda p: ts[min(n - 1, int(p * n))]
+    out = {"n": n,
+           "mean_ms": round(sum(ts) / n * 1e3, 2),
+           "min_ms": round(ts[0] * 1e3, 2),
+           "p50_ms": round(q(0.50) * 1e3, 2),
+           "p95_ms": round(q(0.95) * 1e3, 2),
+           "max_ms": round(ts[-1] * 1e3, 2)}
+    if audio_s is not None:
+        out["x_mean"] = round(audio_s / (sum(ts) / n), 1)
+        out["x_best"] = round(audio_s / ts[0], 1)
+    return out
+
+
 def _timeit(fn, args, iters):
     int(fn(*args))                        # compile + warm-up
     t0 = time.perf_counter()
@@ -106,13 +124,14 @@ def _bench_93_family(streams, is_t1, copies, iters):
 
     mod = decode93a if is_t1 else decode93
     per = []
-    n_frames = None
     idxs = [(decode93a.prescan93a(s, 0) if is_t1
              else decode93.prescan93(s, 0)) for s in streams]
     nwords = max(mod.window_words_needed(i) for i in idxs)
+    # heterogeneous frame counts: every element pads to the batch max
+    # with index zeros (kind K_NONE / bits 0 — decoded as silence);
+    # audio accounting counts only the REAL frames
+    f_max = max(i.n_frames for i in idxs)
     for stream, idx in zip(streams, idxs):
-        assert n_frames is None or idx.n_frames == n_frames, \
-            "bench streams must share a frame count"
         n_frames = idx.n_frames
 
         tr = ControlTracer()
@@ -121,17 +140,21 @@ def _bench_93_family(streams, is_t1, copies, iters):
         tr.soft_boot()
         tr.load_audio_stream(0, stream, mixing_level=0x64)
         tr.trace_frames(n_frames)
-        mix = np.zeros(n_frames, dtype=np.int32)
+        mix = np.zeros(f_max, dtype=np.int32)
         for t, entries in enumerate(tr.trace_entries):
             for (c, _, fidx, m) in entries:
                 if c == 0 and fidx == t:
                     mix[t] = m
-        vol = np.asarray(tr.trace_vol_shift, dtype=np.int32)
+        vol = np.zeros(f_max, dtype=np.int32)
+        vol[:n_frames] = np.asarray(tr.trace_vol_shift, dtype=np.int32)
         pool = np.frombuffer(bytes(stream) + b"\xff" * 8,
                              dtype=np.uint8).astype(np.int32)
+        arrs = mod.index_arrays(idx)
+        arrs = {k: jnp.pad(v, [(0, f_max - n_frames)]
+                           + [(0, 0)] * (v.ndim - 1))
+                for k, v in arrs.items()}
         per.append((bd.window_rows(jnp.asarray(pool), nwords),
-                    mod.index_arrays(idx), jnp.asarray(mix),
-                    jnp.asarray(vol)))
+                    arrs, jnp.asarray(mix), jnp.asarray(vol), n_frames))
 
     # cycle the distinct streams across the batch; the batch holds one
     # SHARED stack of the distinct pools (padded rectangular) and each
@@ -146,6 +169,7 @@ def _bench_93_family(streams, is_t1, copies, iters):
     arrB = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[1] for p in sel])
     mixB = jnp.stack([p[2] for p in sel])
     volB = jnp.stack([p[3] for p in sel])
+    true_frames = sum(p[4] for p in sel)
 
     def one(pools, pi, arrs, mixv, volv):
         ww = pools[pi]
@@ -162,59 +186,123 @@ def _bench_93_family(streams, is_t1, copies, iters):
 
     fn = jax.jit(batch)
     dt = _timeit(fn, (pools, pid, arrB, mixB, volB), iters)
-    return copies * n_frames * 240 / 31250.0 / dt
+    return true_frames * 240 / 31250.0 / dt
 
 
-def bench_flat94_e2e(iters):
+def bench_flat94_e2e(iters, collect=None):
     """End-to-end COLD catalog sweep (the decode contract starts at ROM
     bytes, DCSDecoder.cpp:1579-1690): for EVERY catalog entry — native
     stream indexing (frame boundaries, band-type chains), native runtime
-    VM trace (mix/volume), vectorized control pack — then upload, one
+    VM trace (mix/volume), vectorized control pack — then upload, ONE
     device sweep dispatch, and the PCM checksum fetch.  Nothing is shared
-    or cached between entries or iterations."""
+    or cached between entries or iterations.
+
+    Cold-path engineering (ARCHITECTURE.md "axon transfer contract"):
+    the binding term is the host→device upload, so the catalog ships in
+    the transfer-compact layout (uint8 pool, uint8 band types, per-stream
+    header table; flatsweep.flat_pipeline_packed derives the rest on
+    device) and the upload of chunk k overlaps the host indexing/packing
+    of chunk k+1 via an uploader thread.  One fused program then sweeps
+    all chunks in a single dispatch (one RTT), and one scalar checksum
+    fetch forces + syncs it (one RTT)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from dcsexplorer_tpu.models import flatsweep
-    from dcsexplorer_tpu.ops import band_decode as bd
 
     streams = _read(["music_a.dcs94", "music_b.dcs94"]
                     + [f"{n}.dcs94" for n in LEGACY])
-    copies = int(os.environ.get("DCS_BENCH_E2E_COPIES", "8"))
-    catalog = streams * copies
+    copies = int(os.environ.get("DCS_BENCH_E2E_COPIES", "24"))
+    n_chunks = int(os.environ.get("DCS_BENCH_E2E_CHUNKS", "4"))
+    n_chunks = min(n_chunks, copies)
+    per = copies // n_chunks
+    chunks = [streams * per for _ in range(n_chunks - 1)]
+    chunks.append(streams * (copies - per * (n_chunks - 1)))
 
-    def sweep(*a):
-        pcm = flatsweep.flat_pipeline(*a)
+    def sweep_chunks(chunk_args, n_steps):
+        """Concatenate the chunks IN-PROGRAM (pool byte offsets and
+        stream-id offsets are static — they come from shapes), then run
+        ONE flat pipeline instance: chunked upload, single compile."""
+        pool = jnp.concatenate([a["pool_u8"] for a in chunk_args])
+        boff = np.cumsum([0] + [a["pool_u8"].shape[0]
+                                for a in chunk_args[:-1]])
+        soff = np.cumsum([0] + [a["hdr_tab"].shape[0]
+                                for a in chunk_args[:-1]])
+        cat = lambda k: jnp.concatenate([a[k] for a in chunk_args])
+        sid = jnp.concatenate([
+            a["sid"].astype(jnp.int32) + jnp.int32(s)
+            for a, s in zip(chunk_args, soff)])
+        start_bit = jnp.concatenate([
+            a["start_bit"] + jnp.int32(b * 8)
+            for a, b in zip(chunk_args, boff)])
+        pcm = flatsweep.flat_pipeline_packed(
+            pool, sid, start_bit, cat("bt_u8"), cat("mix_u16"),
+            cat("vol_u8"), cat("hdr_tab"), cat("fmt_tab"), cat("sub_tab"),
+            n_steps)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    fn = jax.jit(sweep, static_argnums=(10,))
+    fn = jax.jit(sweep_chunks, static_argnums=(1,))
+    ex = ThreadPoolExecutor(1)
+
+    def pack(cat):
+        sw = flatsweep.FlatSweep(cat)         # index + trace, per entry
+        sw.pack()
+        ca = sw.compact_host_arrays()
+        ca.pop("n_steps")
+        return ca, sw.audio_samples, sw.n_steps
+
+    def upload(ca):
+        return {k: jax.device_put(v) for k, v in ca.items()}
 
     def cold():
-        sw = flatsweep.FlatSweep(catalog)     # index + trace, per entry
-        sw.pack()
-        args = list(sw.args())                # host→device upload
-        args[0] = bd.window_rows_for(args[0], args[1].shape[0])
-        return int(fn(*args)), sw.audio_samples
+        """One cold iteration: pack chunk k+1 on this thread while the
+        uploader thread pushes chunk k over the link; then one dispatch +
+        one checksum fetch."""
+        audio = 0
+        args = []
+        up = None
+        n_steps = 8
+        for cat in chunks:
+            ca, a, ns = pack(cat)
+            n_steps = max(n_steps, ns)
+            if up is not None:
+                args.append(up.result())
+            up = ex.submit(upload, ca)
+            audio += a
+        args.append(up.result())
+        return int(fn(args, n_steps)), audio
 
     chk, audio_samples = cold()               # compile, untimed
-    best = None
+    times = []
     for _ in range(max(2, iters)):
         t0 = time.perf_counter()
         c2, _ = cold()
-        dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
         assert c2 == chk
-        best = dt if best is None else min(best, dt)
-    return audio_samples / 31250.0 / best
+    ex.shutdown()
+    if collect is not None:
+        collect["flat94_e2e"] = _stats(times, audio_samples / 31250.0)
+    return audio_samples / 31250.0 / (sum(times) / len(times))
 
 
-def bench_session6(iters):
+def bench_session6(iters, collect=None):
     """A batch of B six-voice sessions through the ROM session pipeline,
     timed END-TO-END: the native runtime VM (vm/native_tracer.py — track
     byte-code, command queue, fades, volume) traces every session, the
-    control vectors assemble, and the device decodes the whole batch in
+    controls COMPRESS to the segment form (romplay.compress_controls —
+    the dense [S,T,C] u16 rows/mix were the dominant wire bytes), the
+    compact batch uploads, and the device reconstructs + decodes it in
     one dispatch.  Each session is DISTINCT — staggered track starts and
     a different master volume — the realistic "many cabinets, one chip"
-    serving shape.  The host trace is ~0.3 µs/frame native, so serving
-    cost is the device dispatch, not the VM.
+    serving shape.
+
+    Reports mean/min/p50/p95 per batch (collect["session6"]) plus a
+    serving-tick latency probe: wall-clock for a full trace→upload→
+    decode→fetch round trip of ONE 8-frame tick across all sessions
+    (collect["session6_tick"]); the ~30 ms dispatch and ~28 ms fetch
+    RTTs of the tunneled device dominate that number.
     """
     import numpy as np
     from dcsexplorer_tpu.compiler import romgen as g
@@ -238,10 +326,10 @@ def bench_session6(iters):
     rs.check()
 
     n_frames = 1000
-    # 320 sessions/batch amortizes the ~28 ms dispatch+sync tax while the
-    # single-core host trace (0.42 ms/session) still hides under the
-    # device time: measured 128 -> 10,963x, 256 -> 12,136x, 320 -> 13,154x
-    # end-to-end; 384 would put the host trace on the critical path.
+    # 320 sessions/batch amortizes the ~30 ms dispatch + ~28 ms fetch
+    # RTTs; the per-batch rate the driver actually measured is what
+    # BENCH_r{N}.json records — perf prose quotes that JSON, not this
+    # comment.
     n_sessions = int(os.environ.get("DCS_BENCH_SESSIONS", "320"))
     bank = romplay.build_rom_bank(rs)
     assert nt.available(), "native runtime required for the session bench"
@@ -257,66 +345,113 @@ def bench_session6(iters):
     import jax
     import jax.numpy as jnp
 
-    dd = bank.device_decode
+    dec = bank.decode_fn()
     assert bank.total_rows() < (1 << 16), "u16 row ids need a small bank"
+    CH = 6                                 # six-voice sessions: 6 lanes
 
-    def fn(r, m, v):
-        r = r.astype(jnp.int32)
-        m = m.astype(jnp.int32)
+    # fixed segment-table width across batches: one compiled program
+    SEG_E = int(os.environ.get("DCS_BENCH_SEG_E", "32"))
+
+    def fn(ba, buf, S, T):
+        f0, base, slope, mixv, v = romplay.unpack_controls_wire(
+            buf, S, T, CH, SEG_E)
+        r, m = romplay.reconstruct_from_segments(f0, base, slope, mixv, T)
         v = v.astype(jnp.int32)
-        pcm, _ = jax.vmap(lambda a, b_, c: dd(a, b_, c))(r, m, v)
+        pcm, _ = jax.vmap(lambda a, b_, c: dec(ba, a, b_, c))(r, m, v)
         return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
 
-    fn = jax.jit(fn)
+    jfn = jax.jit(fn, static_argnums=(2, 3))
+    fn = lambda buf, T=None: jfn(bank.bank_args(), buf, n_sessions,
+                                 n_frames if T is None else T)
 
     addr_tab, off_tab = nt.stream_row_table(rs, bank)
 
-    def prepare(base):
-        """Host half: one fused C call per session (VM trace + row
-        assembly + u16/u8 narrowing straight into the batch slices)."""
-        rows = np.zeros((n_sessions, n_frames, 8), np.uint16)
-        mix = np.zeros((n_sessions, n_frames, 8), np.uint16)
-        vol = np.zeros((n_sessions, n_frames), np.uint8)
+    # one tracer per session slot, REUSED across batches (soft_boot
+    # resets the runtime; re-creating tracers would re-copy the ROM
+    # chips every batch)
+    tracers = [nt.NativeControlTracer(rs) for _ in range(n_sessions)]
+
+    def prepare(base, T=None):
+        """Host half: one fused C call per session — VM trace with
+        in-trace control-plane SEGMENT emission (trace_segs) straight
+        into the batch slices.  No dense [T,C] control arrays are ever
+        built; the wire carries only the segment parameter tables and
+        the volume column, packed into ONE uint8 buffer (the live
+        tunnel charges a fixed ~30-40 ms per transfer on top of
+        bytes)."""
+        T = n_frames if T is None else T
+        f0 = np.zeros((n_sessions, CH, SEG_E), np.uint16)
+        seg_base = np.zeros((n_sessions, CH, SEG_E), np.uint16)
+        slope = np.zeros((n_sessions, CH, SEG_E), np.uint8)
+        mixv = np.zeros((n_sessions, CH, SEG_E), np.uint16)
+        vol = np.zeros((n_sessions, T), np.uint8)
         for b in range(n_sessions):
-            tr = nt.NativeControlTracer(rs)
+            tr = tracers[b]
             tr.soft_boot()
-            tr.trace_rows(n_frames, addr_tab, off_tab,
-                          rows[b], mix[b], vol[b],
-                          session_events(base + b))
-            tr.close()
-        return rows, mix, vol
+            ok = tr.trace_segs(T, addr_tab, off_tab, f0[b], seg_base[b],
+                               slope[b], mixv[b], vol[b],
+                               session_events(base + b))
+            assert ok, "trace exceeded the segment cap"
+        return romplay.pack_controls_wire(
+            dict(f0=f0, base=seg_base, slope=slope, mixv=mixv), vol)
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def serve(n_batches, ex):
+    def serve(n_batches, ex, times=None):
         """Steady-state serving, three-stage software pipeline: the device
         decodes batch k while an upload thread pushes batch k+1 over the
         host↔device link (the transfer releases the GIL, so it genuinely
-        overlaps) and the main thread traces batch k+2.  Dispatch is
-        async; the checksum fetch syncs."""
+        overlaps) and the main thread traces+compresses batch k+2.
+        Dispatch is async; the checksum fetch syncs."""
         total = 0
         pend = None
-        up = ex.submit(lambda a: [jnp.asarray(x) for x in a], prepare(0))
+        t_last = time.perf_counter()
+        up = ex.submit(jax.device_put, prepare(0))
         for k in range(n_batches):
-            args = up.result()
-            fut = fn(*args)
+            buf = up.result()
+            fut = fn(buf)
             if k + 1 < n_batches:
-                up = ex.submit(lambda a: [jnp.asarray(x) for x in a],
+                up = ex.submit(jax.device_put,
                                prepare((k + 1) * n_sessions))
             if pend is not None:
                 total += int(pend)
+                if times is not None:
+                    t = time.perf_counter()
+                    times.append(t - t_last)
+                    t_last = t
             pend = fut
-        return total + int(pend)
+        total += int(pend)
+        if times is not None:
+            times.append(time.perf_counter() - t_last)
+        return total
 
     ex = ThreadPoolExecutor(1)
 
     serve(1, ex)                          # compile + warm
     n_batches = max(2, iters)
+    times = []
     t0 = time.perf_counter()
-    serve(n_batches, ex)
+    serve(n_batches, ex, times)
     dt = time.perf_counter() - t0
+    audio_s = n_batches * n_sessions * n_frames * 240 / 31250.0
+    if collect is not None:
+        collect["session6"] = _stats(
+            times, n_sessions * n_frames * 240 / 31250.0)
+        # serving-tick latency: ONE 8-frame tick, full round trip
+        # (trace -> compress -> upload -> decode -> checksum fetch)
+        tick = []
+        int(fn(jax.device_put(prepare(0, T=8)), T=8))  # compile the shape
+        for i in range(10):
+            t0t = time.perf_counter()
+            int(fn(jax.device_put(prepare(i * n_sessions, T=8)), T=8))
+            tick.append(time.perf_counter() - t0t)
+        collect["session6_tick"] = _stats(tick)
+        collect["session6_tick"]["frames_per_tick"] = 8
+        collect["session6_tick"]["sessions"] = n_sessions
     ex.shutdown()
-    return n_batches * n_sessions * n_frames * 240 / 31250.0 / dt
+    for tr in tracers:
+        tr.close()
+    return audio_s / dt
 
 
 def _enc_jobs(n_files, seconds=2.0):
@@ -385,6 +520,7 @@ def main():
     only = set(only.split(",")) if only else None
 
     configs = {}
+    stats = {}
 
     def want(name):
         return only is None or name in only
@@ -397,7 +533,7 @@ def main():
         legacy = _read([f"{n}.dcs94" for n in LEGACY])
         configs["flat94"] = bench_flat94(legacy, copies, iters)
     if want("flat94_e2e"):
-        configs["flat94_e2e"] = bench_flat94_e2e(iters)
+        configs["flat94_e2e"] = bench_flat94_e2e(iters, collect=stats)
     if want("dec93b"):
         # heterogeneous batch: two distinct music streams, one per 1993
         # sub-family (OS93b Type 0/1, OS93a Type 0 — same decompressor)
@@ -409,7 +545,7 @@ def main():
             _read(["dense_t1.dcs93a1", "dense_t1b.dcs93a1"]), True,
             max(2, copies // 2), iters)
     if want("session6"):
-        configs["session6"] = bench_session6(iters)
+        configs["session6"] = bench_session6(iters, collect=stats)
     if want("enc94"):
         configs["enc94"] = bench_enc94(iters)
     if want("enc94_dev"):
@@ -418,13 +554,16 @@ def main():
     headline = configs.get("flat94_music",
                            configs.get("flat94",
                                        next(iter(configs.values()))))
-    print(json.dumps({
+    out = {
         "metric": "batched_decode_throughput",
         "value": round(headline, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(headline / 20.0, 2),
         "configs": {k: round(v, 1) for k, v in configs.items()},
-    }))
+    }
+    if stats:
+        out["stats"] = stats
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
