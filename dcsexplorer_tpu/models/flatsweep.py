@@ -212,32 +212,37 @@ class FlatSweep:
     def __init__(self, streams, mixing_level=0x64, master_volume=0x67):
         idxs = [prescan.prescan94(s, 0) for s in streams]
         offsets = []
-        pool = bytearray()
+        bufs = []
+        pos = 0
         for s, i in zip(streams, idxs):
-            offsets.append(len(pool))
+            offsets.append(pos)
             end = int(i.end_bit[-1] // 8) + 8 if i.n_frames else len(s)
-            pool += bytes(s[:end]) + b"\xff" * 8
-        pool += b"\xff" * 8
-        self.pool = np.frombuffer(bytes(pool), dtype=np.uint8).astype(np.int32)
+            body = bytes(s[:end])            # may clamp short of `end`
+            bufs.append(body)
+            bufs.append(b"\xff" * 8)
+            pos += len(body) + 8
+        bufs.append(b"\xff" * 8)
+        # the pool stays uint8 on the host: the cold path ships it as-is
+        # (flat_pipeline_packed widens on device); the wide args() path
+        # widens lazily
+        self.pool_u8 = np.frombuffer(b"".join(bufs), dtype=np.uint8)
 
         cols = []      # per stream: dict of per-frame numpy columns
         for k, (s, i) in enumerate(zip(streams, idxs)):
             F = i.n_frames
             mixes, vols = self._trace(s, F, mixing_level, master_volume)
             cols.append(dict(
+                n_frames=F,
                 start_bit=(offsets[k] * 8 + i.start_bit).astype(np.int32),
-                header=np.broadcast_to(np.asarray(i.header, np.int32),
-                                       (F, 16)),
-                fmt=np.full(F, int(i.fmt_type), np.int32),
-                sub=np.full(F, int(i.sub_type), np.int32),
+                header=np.asarray(i.header, np.int32),       # [16], one row
+                fmt=int(i.fmt_type), sub=int(i.sub_type),
                 bt=np.asarray(i.band_type, np.int32),
                 btp=np.asarray(i.band_type_prev, np.int32),
                 mix=mixes, vol=vols,
-                sstart=(np.arange(F) == 0),
                 totals=np.asarray(prescan.scan_totals(i), np.int64),
             ))
         self._cols = cols
-        self.n_frames_total = int(sum(c["fmt"].size for c in cols))
+        self.n_frames_total = int(sum(c["n_frames"] for c in cols))
         self.audio_samples = self.n_frames_total * 240
         self.dense_totals = (np.concatenate([c["totals"] for c in cols])
                              if cols else np.zeros(0, np.int64))
@@ -270,66 +275,81 @@ class FlatSweep:
         return mixes, np.asarray(tr.trace_vol_shift, dtype=np.int32)
 
     def pack(self):
+        """Assemble the transfer-compact catalog columns (the cold-path
+        wire layout — nothing wider than the device needs is ever built;
+        the wide args() arrays derive lazily from the same per-stream
+        columns)."""
         cols = self._cols
+        S = len(cols)
+        N = self.n_frames_total
         cat = lambda key: (np.concatenate([c[key] for c in cols])
                            if cols else np.zeros(0, np.int32))
+        assert S < (1 << 16), "sid is uint16"
+        self.sid = np.repeat(np.arange(S, dtype=np.uint16),
+                             [c["n_frames"] for c in cols])
         self.start_bit = cat("start_bit").astype(np.int32)
-        self.header = (np.concatenate([c["header"] for c in cols])
-                       if cols else np.zeros((0, 16), np.int32))
-        self.fmt = cat("fmt")
-        self.sub = cat("sub")
+        # full-width band types (type-1 streams accumulate deltas mod
+        # 0x10000, so values above 255 are legitimate); the compact wire
+        # narrows to uint8 and asserts
         self.bt = (np.concatenate([c["bt"] for c in cols])
                    if cols else np.zeros((0, 16), np.int32))
-        self.btp = (np.concatenate([c["btp"] for c in cols])
-                    if cols else np.zeros((0, 16), np.int32))
-        self.mix = cat("mix")
-        self.vol = cat("vol")
-        self.sstart = cat("sstart").astype(bool)
-        N = self.n_frames_total
+        mix = cat("mix")
+        vol = cat("vol")
+        assert mix.size == 0 or mix.max() < (1 << 16)
+        assert vol.size == 0 or vol.max() < 256
+        assert self.start_bit.size == 0 or self.start_bit.max() < (1 << 31)
+        self.mix_u16 = mix.astype(np.uint16)
+        self.vol_u8 = vol.astype(np.uint8)
+        self.hdr_tab = (np.stack([c["header"] for c in cols])
+                        if S else np.zeros((0, 16), np.int32)) \
+            .astype(np.uint8)
+        self.fmt_tab = np.asarray([c["fmt"] for c in cols], np.uint8)
+        self.sub_tab = np.asarray([c["sub"] for c in cols], np.uint8)
         self.n_steps = int(min(256, (self.dense_totals.max() + 7) & ~7)) \
             if N else 8
         return self
 
     def args(self):
-        return (jnp.asarray(self.pool), jnp.asarray(self.start_bit),
-                jnp.asarray(self.header), jnp.asarray(self.fmt),
-                jnp.asarray(self.sub), jnp.asarray(self.bt),
-                jnp.asarray(self.btp), jnp.asarray(self.mix),
-                jnp.asarray(self.vol), jnp.asarray(self.sstart),
+        """The wide flat_pipeline argument tuple (built on demand — the
+        cold path never pays for these int32 broadcasts)."""
+        cols = self._cols
+        sid = self.sid.astype(np.int32)
+        header = (self.hdr_tab.astype(np.int32)[sid] if len(cols)
+                  else np.zeros((0, 16), np.int32))
+        fmt = self.fmt_tab.astype(np.int32)[sid] if len(cols) \
+            else np.zeros(0, np.int32)
+        sub = self.sub_tab.astype(np.int32)[sid] if len(cols) \
+            else np.zeros(0, np.int32)
+        btp = (np.concatenate([c["btp"] for c in cols])
+               if cols else np.zeros((0, 16), np.int32))
+        sstart = np.concatenate([[True], sid[1:] != sid[:-1]]) \
+            if sid.size else np.zeros(0, bool)
+        return (jnp.asarray(self.pool_u8.astype(np.int32)),
+                jnp.asarray(self.start_bit),
+                jnp.asarray(header), jnp.asarray(fmt),
+                jnp.asarray(sub), jnp.asarray(self.bt),
+                jnp.asarray(btp), jnp.asarray(self.mix_u16.astype(np.int32)),
+                jnp.asarray(self.vol_u8.astype(np.int32)),
+                jnp.asarray(sstart),
                 self.n_steps)
 
     def compact_host_arrays(self):
         """Transfer-compact numpy columns for flat_pipeline_packed
         (requires pack()).  ~4 bytes/pool-byte + ~23 bytes/frame less on
         the wire than args(); see flat_pipeline_packed."""
-        cols = self._cols
-        S = len(cols)
-        N = self.n_frames_total
-        assert S < (1 << 16), "sid is uint16"
-        sid = np.repeat(np.arange(S, dtype=np.uint16),
-                        [c["fmt"].size for c in cols])
-        hdr_tab = np.stack([c["header"][0] if c["header"].size else
-                            np.zeros(16, np.int32) for c in cols]) \
-            if S else np.zeros((0, 16), np.int32)
-        fmt_tab = np.asarray([int(c["fmt"][0]) if c["fmt"].size else 0
-                              for c in cols], np.uint8)
-        sub_tab = np.asarray([int(c["sub"][0]) if c["sub"].size else 0
-                              for c in cols], np.uint8)
-        assert self.bt.size == 0 or (0 <= self.bt.min()
-                                     and self.bt.max() <= 255), \
+        bt = self.bt
+        assert bt.size == 0 or (0 <= bt.min() and bt.max() <= 255), \
             "band types exceed uint8 — use the wide args() path"
-        assert self.mix.size == 0 or self.mix.max() < (1 << 16)
-        assert self.vol.size == 0 or self.vol.max() < 256
-        assert self.start_bit.size == 0 or self.start_bit.max() < (1 << 31)
         return dict(
-            pool_u8=self.pool.astype(np.uint8),
-            sid=sid,
-            start_bit=self.start_bit.astype(np.int32),
-            bt_u8=self.bt.astype(np.uint8),
-            mix_u16=self.mix.astype(np.uint16),
-            vol_u8=self.vol.astype(np.uint8),
-            hdr_tab=hdr_tab.astype(np.uint8),
-            fmt_tab=fmt_tab, sub_tab=sub_tab, n_steps=self.n_steps)
+            pool_u8=self.pool_u8,
+            sid=self.sid,
+            start_bit=self.start_bit,
+            bt_u8=bt.astype(np.uint8),
+            mix_u16=self.mix_u16,
+            vol_u8=self.vol_u8,
+            hdr_tab=self.hdr_tab,
+            fmt_tab=self.fmt_tab, sub_tab=self.sub_tab,
+            n_steps=self.n_steps)
 
 
 def run_flat(sweep: FlatSweep):

@@ -20,23 +20,42 @@
 namespace {
 
 struct BitReader {
+    // 64-bit left-justified lookahead, refilled 7 bytes at a time (one
+    // unaligned big-endian load) — the indexer's whole job is this walk,
+    // so the refill path is the hot path.  Invariant: the top `nbits`
+    // bits of `buf` are valid, everything below is zero.
     const uint8_t* mem;
     int len;
     int pos;        // next byte to pull
-    uint32_t buf;   // left-justified lookahead
+    uint64_t buf;
     int nbits;
 
     void init(const uint8_t* m, int l, int p) {
         mem = m; len = l; pos = p; buf = 0; nbits = 0;
     }
     inline uint8_t byteAt(int i) const { return i < len ? mem[i] : 0xFF; }
-    inline uint32_t peek(int n) {
-        while (nbits <= n) {
-            buf |= static_cast<uint32_t>(byteAt(pos)) << (24 - nbits);
-            ++pos;
-            nbits += 8;
+    inline void refill() {
+        if (nbits > 56) return;
+        if (pos + 8 <= len) {
+            uint64_t w;
+            memcpy(&w, mem + pos, 8);
+            w = __builtin_bswap64(w);
+            int nn = nbits | 56;                 // 56..63 valid afterwards
+            buf |= w >> nbits;
+            buf &= ~0ull << (64 - nn);           // drop the partial 8th byte
+            pos += (nn - nbits) >> 3;
+            nbits = nn;
+        } else {
+            while (nbits <= 56) {
+                buf |= static_cast<uint64_t>(byteAt(pos)) << (56 - nbits);
+                ++pos;
+                nbits += 8;
+            }
         }
-        return buf >> (32 - n);
+    }
+    inline uint32_t peek(int n) {
+        if (nbits < n) refill();
+        return static_cast<uint32_t>(buf >> 1 >> (63 - n));
     }
     inline uint32_t get(int n) {
         uint32_t v = peek(n);
@@ -44,10 +63,77 @@ struct BitReader {
         buf <<= n;
         return v;
     }
+    // advance the cursor without decoding (fixed-width runs)
+    inline void skip(int64_t n) {
+        if (n <= nbits) {
+            nbits -= static_cast<int>(n);
+            buf <<= n;
+            return;
+        }
+        n -= nbits;
+        pos += static_cast<int>(n >> 3);
+        buf = 0;
+        nbits = 0;
+        int rem = static_cast<int>(n & 7);
+        if (rem) get(rem);
+    }
     inline int64_t cursor() const {
         return static_cast<int64_t>(pos) * 8 - nbits;
     }
 };
+
+// Flat lookup for the 94 band-type delta tree: peek(DEPTH) resolves codes
+// of <= DEPTH bits to packed (codeword length << 8) | delta byte; longer
+// codes (the rare large deltas — the tree is 23 deep but everything past
+// 12 bits is tail) store the interior node to resume the bit-serial walk
+// from, flagged by a zero length byte.  Built once from kHuffTree94.
+struct DeltaTab94 {
+    static const int DEPTH = 12;
+    uint16_t tab[1 << DEPTH];
+
+    DeltaTab94() { emit(0, 0, 0); }
+    void emit(int node, int bits, int nb) {
+        for (int b = 0; b < 2; ++b) {
+            int nxt = node + (b ? kHuffTree94[node] : 1);
+            int nb2 = nb + 1;
+            int bits2 = (bits << 1) | b;
+            bool leaf = (kHuffTree94[nxt] & 0x8000) != 0;
+            if (leaf || nb2 == DEPTH) {
+                uint16_t e = leaf
+                    ? static_cast<uint16_t>(0x8000 | (nb2 << 8)
+                                            | (kHuffTree94[nxt] & 0xFF))
+                    : static_cast<uint16_t>(nxt);   // resume node (bit15=0)
+                int lo = bits2 << (DEPTH - nb2);
+                int hi = (bits2 + 1) << (DEPTH - nb2);
+                for (int i = lo; i < hi; ++i) tab[i] = e;
+            } else {
+                emit(nxt, bits2, nb2);
+            }
+        }
+    }
+};
+
+const DeltaTab94& deltaTab94() {
+    static DeltaTab94 t;
+    return t;
+}
+
+// one band-type delta: table fast path + serial tail for >DEPTH-bit codes
+inline int readDelta94(BitReader& bit, const DeltaTab94& dtab) {
+    uint16_t e = dtab.tab[bit.peek(DeltaTab94::DEPTH)];
+    if (e & 0x8000) {
+        bit.get((e >> 8) & 0x7F);
+        return (e & 0xFF) - 0x2E;
+    }
+    bit.get(DeltaTab94::DEPTH);
+    int node = e;
+    for (;;) {
+        uint32_t b = bit.get(1);
+        node += b ? kHuffTree94[node] : 1;
+        if (kHuffTree94[node] & 0x8000) break;
+    }
+    return (kHuffTree94[node] & 0xFF) - 0x2E;
+}
 
 }  // namespace
 
@@ -100,6 +186,7 @@ int dcs94_decode_dense(const uint8_t* mem, int len, int pos,
 
     BitReader bit;
     bit.init(mem, len, hdr_pos + 16);
+    const DeltaTab94& dtab = deltaTab94();
     int bt[16];
     memset(bt, 0, sizeof(bt));
     int error_frame = -1;
@@ -113,16 +200,10 @@ int dcs94_decode_dense(const uint8_t* mem, int len, int pos,
         for (int i = 0; i < 3; ++i)
             preadj[i] = preadj_map[bt[i] & 0xF];
 
-        // differential band-type header
-        for (int i = 0; i < n_hdr; ++i) {
-            int node = 0;
-            for (;;) {
-                uint32_t b = bit.get(1);
-                node += b ? kHuffTree94[node] : 1;
-                if (kHuffTree94[node] & 0x8000) break;
-            }
-            bt[i] = (bt[i] + (kHuffTree94[node] & 0xFF) - 0x2E) & 0xFFFF;
-        }
+        // differential band-type header (flat prefix table, one peek per
+        // delta instead of a bit-serial tree walk)
+        for (int i = 0; i < n_hdr; ++i)
+            bt[i] = (bt[i] + readDelta94(bit, dtab)) & 0xFFFF;
         if (band_type) {
             for (int i = 0; i < 16; ++i) band_type[f * 16 + i] = bt[i];
         }
@@ -198,18 +279,26 @@ int dcs94_decode_dense(const uint8_t* mem, int len, int pos,
                 }
             } else {
                 int w = code <= 17 ? code : 17;
-                for (int i = 0; i < out_count; ++i) {
-                    uint32_t raw = bit.get(w);
-                    int val = static_cast<int>(raw);
-                    if (val & (1 << (w - 1))) val -= 1 << w;
-                    if (dv && d < 256) {
-                        dv[d] = val & 0xFFFF;
-                        sv[d] = sf;
-                        fv[d] = static_cast<int16_t>(out_idx);
-                        vv[d] = 1;
+                if (!dv) {
+                    // index-only walk: a raw band is a fixed-width run —
+                    // advance the cursor in one step
+                    bit.skip(static_cast<int64_t>(w) * out_count);
+                    d += out_count;
+                    out_idx += out_count * out_inc;
+                } else {
+                    for (int i = 0; i < out_count; ++i) {
+                        uint32_t raw = bit.get(w);
+                        int val = static_cast<int>(raw);
+                        if (val & (1 << (w - 1))) val -= 1 << w;
+                        if (d < 256) {
+                            dv[d] = val & 0xFFFF;
+                            sv[d] = sf;
+                            fv[d] = static_cast<int16_t>(out_idx);
+                            vv[d] = 1;
+                        }
+                        ++d;
+                        out_idx += out_inc;
                     }
-                    ++d;
-                    out_idx += out_inc;
                 }
                 n_sym += out_count;
             }
@@ -459,7 +548,7 @@ int dcs93a_index(const uint8_t* mem, int len, int pos, int32_t* meta,
             if (bits_out) bits_out[cell] = band_bits;
             if (scale32_out) scale32_out[cell] = static_cast<int32_t>(scale);
             if (bit_start) bit_start[cell] = bit.cursor();
-            for (int i = 0; i < n; ++i) bit.get(band_bits);
+            bit.skip(static_cast<int64_t>(band_bits) * n);
         }
         if (end_bit) end_bit[f] = bit.cursor();
     }
