@@ -9,11 +9,15 @@ anchor: DCSEncoder.cpp:784-853, 1502-1621).
 
 Device layout: the per-band work runs on a padded [16, 32] grid (bands ×
 lanes — band sizes are 7, 8, 13×16, 32), the emission on the flat [255]
-transmit order.  The whole format search is one fused program: decision
+transmit order.  The whole format search is one fused program: (optionally
+the analysis matmul itself, from raw int16 PCM planes on the MXU —
+_analyze_device) → per-slot LUT derivation from the 16 header scale codes
+(_derive_luts; widths/scale factors/fit windows never travel) → decision
 tables → wrap refinement → sequential band-type scan (lax.scan over frames,
-carry = 16 previous codes) → symbol emission → per-format bit sizes →
-winner gather.  The host packs the winner's (values, widths) pairs into
-bytes (core94.pack_bits) and prepends the 16-byte header.
+carry = 16 previous codes) → per-format exact sizes → winner gather → ONE
+packed uint8 result row per stream (one device→host fetch per batch).  The
+host re-derives the winner's emission from its own coefficients
+(native dcs94_emit_with_codes) and prepends the 16-byte header.
 """
 
 import functools
@@ -228,18 +232,84 @@ def _encode_format(ci, cpad, mn, mx, mask_f, silent, keep, thr, dlim, cape,
     return codes, pidx, nbytes
 
 
-def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
-                w_lut, sf_lut, amin, amax, pip, dep, wanted):
-    """All selected format candidates for one stream + winner selection.
+def _static_format_tables(slots):
+    """Per-format-slot static tables (numpy; depend only on the (type,
+    subtype) slot list, not on any stream): w_tab/xa_tab [K,16,16],
+    peff_tab [K,16,PMAX], pip [K,16], dep [K,16], and the band→table maps.
+    Mirrors core94._format_setup's structure with hdr_scale factored out —
+    the only per-stream input the device needs is the 16 header scale
+    codes per slot."""
+    K = len(slots)
+    w_tab = np.zeros((K, 16, 16), dtype=np.int32)
+    xa_tab = np.zeros((K, 16, 16), dtype=np.int32)
+    peff_tab = np.zeros((K, 16, PMAX), dtype=np.int32)
+    pip = np.zeros((K, 16), dtype=np.int32)
+    dep = np.zeros((K, 16), dtype=bool)
+    for k, (t, sub) in enumerate(slots):
+        if t == 0:
+            w_tab[k] = np.arange(16)[None, :]
+        else:
+            preadj_map = np.asarray(
+                c94.T.PREADJ0 if sub == 0 else c94.T.PREADJ3)
+            pvals = sorted(set(int(x) for x in preadj_map))
+            n_p = len(pvals)
+            pip[k] = [pvals.index(int(preadj_map[c])) for c in range(16)]
+            dep[k, :3] = True
+            for b in range(16):
+                xl = c94._xlat_for(b)
+                w_tab[k, b] = xl[:, 0]
+                xa_tab[k, b] = xl[:, 1]
+            peff_tab[k, :3, :] = [pvals[min(pi, n_p - 1)]
+                                  for pi in range(PMAX)]
+    is1 = np.asarray([t != 0 for (t, _) in slots])
+    return w_tab, xa_tab, peff_tab, pip, dep, is1
 
-    ci [F,255] i32; luts carry the format-slot axis [K, 16, 16, PMAX]
-    (K = selected candidates only — the wildcard search computes 3, not
-    4: (0,3) is body-identical to (0,0), core94.skip_dup_format);
-    dep [K, 16] bool, wanted [K] bool.  Returns (nbytes [K], winner,
-    vals, bits)."""
+
+def _derive_luts(hdr_scale, keep, tabs):
+    """Device half of core94._format_setup: (w, sf, amin, amax) for every
+    (slot, band, code, preadj column) from the per-stream header scale
+    codes [K, 16] plus the static slot tables.  Integer-identical to the
+    numpy LUTs (whose int64 build carries a < 2^31 assert that also
+    guards this int32 evaluation — setup_compact re-asserts it)."""
+    jnp = _jnp()
+    w_tab, xa_tab, peff_tab, pip, dep, is1 = tabs
+    wt = jnp.asarray(w_tab)                          # [K,16,16]
+    hs = hdr_scale.astype(jnp.int32)                 # [K,16]
+    sc = (hs[:, :, None, None]
+          + jnp.where(jnp.asarray(is1)[:, None, None, None],
+                      jnp.asarray(xa_tab)[:, :, :, None]
+                      + jnp.asarray(peff_tab)[:, :, None, :], 0))
+    codes = jnp.arange(16, dtype=jnp.int32)
+    live = keep[None, :, None, None] & (codes >= 1)[None, None, :, None]
+    w_lut = jnp.broadcast_to(jnp.where(live, wt[:, :, :, None], 0),
+                             sc.shape)
+    # scale-factor rule incl. wrap semantics (core94._scale_factor)
+    mant = jnp.asarray(np.asarray([0x8000, 0x9838, 0xB505, 0xD745],
+                                  dtype=np.int32))
+    m = mant[sc & 3]
+    sf = jnp.right_shift(m, 15 - ((sc >> 2) & 0xF))
+    sf_lut = jnp.maximum(jnp.where(live, sf, 1), 1)
+    half = jnp.left_shift(jnp.int32(1), jnp.maximum(w_lut - 1, 0))
+    hprod = sf_lut * half
+    amax = hprod - ((sf_lut + 2) >> 1)
+    amin = -(hprod + ((sf_lut - 1) >> 1))
+    return w_lut, sf_lut, amin, amax, jnp.asarray(pip), jnp.asarray(dep)
+
+
+def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
+                hdr_scale, wanted, tabs):
+    """All selected format candidates for one stream + winner selection,
+    packed into ONE uint8 result row (a single device→host fetch):
+
+      [ nbytes[K] as 4 LE bytes each | winner | codes[F,16] | pidx[F,16] ]
+
+    ci [F,255] i32; hdr_scale [K,16] (K = selected candidates only — the
+    wildcard search computes 3, not 4: (0,3) is body-identical to (0,0),
+    core94.skip_dup_format); wanted [K] bool."""
     import jax
     jnp = _jnp()
-    K = w_lut.shape[0]
+    K = hdr_scale.shape[0]
+    F = ci.shape[0]
     pad_src = jnp.asarray(_PAD_SRC)
     padmask = jnp.asarray(_PAD_MASK)
     cpad = jnp.take(ci, pad_src.reshape(-1), axis=1).reshape(
@@ -249,6 +319,8 @@ def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
     mn = jnp.min(jnp.where(padmask[None], cpad, big), axis=2)
     mx = jnp.max(jnp.where(padmask[None], cpad, -big), axis=2)
     silent = (mx - mn) <= sil_max
+
+    w_lut, sf_lut, amin, amax, pip, dep = _derive_luts(hdr_scale, keep, tabs)
 
     fmt = jax.vmap(
         lambda w, s, an, ax, pp, dp: _encode_format(
@@ -264,29 +336,63 @@ def _encode_all(ci, mask_f, sil_max, keep, thr, dlim, cape,
     # of the coefficients — the host↔device link is the scarce resource
     # on serving hosts, and the decisions are the only thing the device
     # knows that the host doesn't
-    return (nbytes, winner, codes[winner].astype(jnp.uint8),
-            pidx[winner].astype(jnp.uint8))
+    nb_u8 = jnp.right_shift(nbytes[:, None],
+                            jnp.asarray([0, 8, 16, 24], np.int32)[None, :])
+    out = jnp.concatenate([
+        (nb_u8 & 0xFF).reshape(4 * K).astype(jnp.uint8),
+        winner[None].astype(jnp.uint8),
+        codes[winner].astype(jnp.uint8).reshape(F * 16),
+        pidx[winner].astype(jnp.uint8).reshape(F * 16)])
+    return out
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled(fmax, k):
-    import jax
-    del fmax, k                    # cache key only (shapes bake into jit)
-    return jax.jit(jax.vmap(_encode_all))
+# ----------------------------------------------------------------------
+# on-device integer-canonical analysis (the PCM→coefficients half):
+# int8-plane MXU matmuls that reproduce encoder.analyze_frames_canonical
+# bit-for-bit (see the contract comment there).
+
+def _analyze_device(pcm, n_frames_max):
+    """pcm int16 [B, Fmax*240 + 240] (zero-padded) → ci int32 [B,Fmax,255].
+
+    frames[f] = pcm[f*240 : f*240+256]; the matmul runs as four int8-plane
+    dots with int32 accumulation (every partial < 2^24), and the 2^21
+    rounding shift is evaluated by an exact nested-shift decomposition —
+    identical to the host's float64 evaluation for every input."""
+    from jax import lax
+    jnp = _jnp()
+    from . import encoder as enc_mod  # matrix constant (numpy)
+    assert enc_mod.FQ_SHIFT == 21, "shift decomposition is tuned to 2^21"
+    fq = np.asarray(enc_mod.forward_matrix_q(), dtype=np.int16)
+    a0 = (fq.astype(np.int32) & 255).astype(np.uint8)
+    a1 = (fq.astype(np.int32) >> 8).astype(np.int8)
+
+    B = pcm.shape[0]
+    F = n_frames_max
+    head = pcm[:, :F * 240].reshape(B, F, 240)
+    tail = pcm[:, 240:240 + F * 240].reshape(B, F, 240)[:, :, :16]
+    frames = jnp.concatenate([head, tail], axis=2)    # [B, F, 256] i16
+    x = frames.astype(jnp.int32).reshape(B * F, 256)
+    x0 = (x & 255).astype(jnp.uint8)
+    x1 = (x >> 8).astype(jnp.int8)
+
+    def dot(u, v):
+        return lax.dot_general(u, jnp.asarray(v),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    p00 = dot(x0, a0)
+    p01 = dot(x0, a1)
+    p10 = dot(x1, a0)
+    p11 = dot(x1, a1)
+    k1 = (p01 + p10) + ((p00 + (1 << 20)) >> 8)
+    ci = (p11 + (k1 >> 8)) >> 5
+    ci = jnp.clip(ci, -(1 << 20), 1 << 20)
+    return ci.reshape(B, F, 255)
 
 
-def _bucket(f):
-    return max(64, -(-f // 64) * 64)
-
-
-def setup_arrays(ci_list, params):
-    """Host setup for a batch: per-stream StreamSetup → stacked device
-    arrays + per-stream (setup, wanted mask, headers)."""
-    setups = []
-    slots = []                         # per stream: slot index → FormatSetup
-    B = len(ci_list)
-    # preserve the numpy core's format filter semantics (shared by every
-    # stream — the filter depends only on params)
+def _select_formats(params):
+    """The format-candidate slot list (params-only; shared by every
+    stream — preserves the numpy core's filter semantics)."""
     sel = [f for f in c94.FORMATS
            if (params.stream_format_type < 0
                or params.stream_format_type == f[0])
@@ -298,87 +404,210 @@ def setup_arrays(ci_list, params):
             "encoding parameters")
     if (0, 0) in sel and (0, 3) in sel:
         sel.remove((0, 3))             # body-identical (core94.skip_dup_format)
-    K = len(sel)
-    w_lut = np.ones((B, K, 16, 16, PMAX), dtype=np.int32)
-    sf_lut = np.ones_like(w_lut)
-    amin = np.zeros_like(w_lut)
-    amax = np.zeros_like(w_lut)
-    pip = np.zeros((B, K, 16), dtype=np.int32)
-    dep = np.zeros((B, K, 16), dtype=bool)
-    keep = np.zeros((B, 16), dtype=bool)
-    thr = np.zeros((B, 16), dtype=np.int32)
-    dlim = np.zeros((B, 16), dtype=np.int32)
-    cape = np.zeros((B, 16), dtype=np.int32)
-    sil_max = np.zeros(B, dtype=np.int32)
-    wanted = np.ones((B, K), dtype=bool)
+    return tuple(sel)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled(fmax, slots, from_pcm):
+    """One jitted program per (frame bucket, format-slot list, input kind).
+
+    from_pcm=True takes int16 PCM and runs the analysis matmul on the MXU
+    (_analyze_device); otherwise it takes ready int32 coefficients.  Both
+    share the search body and return the packed uint8 result rows."""
+    import jax
+    jnp = _jnp()
+    tabs = _static_format_tables(list(slots))
+
+    def body(ci, nf, sil_max, keep, thr, dlim, cape, hdr_scale, wanted):
+        mask = (jnp.arange(ci.shape[1], dtype=jnp.int32)[None, :]
+                < nf[:, None])
+        return jax.vmap(
+            lambda c, m, k, h, w: _encode_all(
+                c, m, sil_max, k, thr, dlim, cape, h, w, tabs)
+        )(ci, mask, keep, hdr_scale, wanted)
+
+    if from_pcm:
+        def run(pcm, nf, sil_max, keep, thr, dlim, cape, hdr_scale, wanted):
+            ci = _analyze_device(pcm, fmax)
+            return body(ci, nf, sil_max, keep, thr, dlim, cape,
+                        hdr_scale, wanted)
+    else:
+        def run(ci, nf, sil_max, keep, thr, dlim, cape, hdr_scale, wanted):
+            return body(ci, nf, sil_max, keep, thr, dlim, cape,
+                        hdr_scale, wanted)
+    return jax.jit(run)
+
+
+def _bucket(f):
+    return max(64, -(-f // 64) * 64)
+
+
+def setup_compact(ci_list, params, slots):
+    """Host setup for a batch: per-stream StreamSetup (kept for emission)
+    plus the COMPACT device arrays — only what the device can't derive
+    (hdr_scale [B,K,16] u8, bands-keep mask, wanted) travels; widths,
+    scale factors and fit windows are derived on device (_derive_luts)."""
     import math
+    B = len(ci_list)
+    K = len(slots)
+    setups = []
+    hdr_scale = np.zeros((B, K, 16), dtype=np.uint8)
+    keep = np.zeros((B, 16), dtype=bool)
+    wanted = np.ones((B, K), dtype=bool)
     for i, ci in enumerate(ci_list):
-        st = c94.setup94(ci, params, wanted=sel)
+        st = c94.setup94(ci, params, wanted=list(slots))
         setups.append(st)
-        slots.append(list(st.formats))
         for k, fs in enumerate(st.formats):
+            # the int64 host build carries the < 2^31 range assert that
+            # also guards the device's int32 lut derivation
             assert (np.abs(fs.amax_lut) < (1 << 31)).all()
             assert (np.abs(fs.amin_lut) < (1 << 31)).all()
-            w_lut[i, k] = fs.w_lut
-            sf_lut[i, k] = fs.sf_lut
-            amin[i, k] = np.clip(fs.amin_lut, -(1 << 31) + 1, (1 << 31) - 1)
-            amax[i, k] = np.clip(fs.amax_lut, -(1 << 31) + 1, (1 << 31) - 1)
-            pip[i, k] = fs.pidx_of_prev
-            dep[i, k, :3] = fs.fmt_type == 1
+            assert fs.hdr_scale.max() < 256 and fs.hdr_scale.min() >= 0
+            hdr_scale[i, k] = fs.hdr_scale
         keep[i, :st.bands_keep] = True
-        thr[i] = st.thr
-        dlim[i] = np.asarray(
-            [math.isqrt(max(int(t), 0)) + 1 for t in st.thr], np.int32)
-        cape[i] = np.minimum(thr[i].astype(np.int64) + 1, 1 << 25)
-        sil_max[i] = st.sil_max
-    return setups, slots, (w_lut, sf_lut, amin, amax, pip, dep, keep, thr,
-                           dlim, cape, sil_max, wanted)
+    thr = setups[0].thr.astype(np.int32) if setups else \
+        np.zeros(16, np.int32)
+    dlim = np.asarray([math.isqrt(max(int(t), 0)) + 1 for t in thr],
+                      np.int32)
+    cape = np.minimum(thr.astype(np.int64) + 1, 1 << 25).astype(np.int32)
+    sil_max = np.int32(setups[0].sil_max if setups else 0)
+    return setups, dict(hdr_scale=hdr_scale, keep=keep, wanted=wanted,
+                        thr=thr, dlim=dlim, cape=cape, sil_max=sil_max)
+
+
+def _emit_from_packed(buf_row, ci, st, slots):
+    """Host emission for one stream from its packed device result row."""
+    from .. import native
+    K = len(slots)
+    F = st.n_frames
+    nbytes = (buf_row[:4 * K].reshape(K, 4).astype(np.int64)
+              * (1 << np.arange(4) * 8)[None, :]).sum(axis=1)
+    winner = int(buf_row[4 * K])
+    fmax16 = (buf_row.size - 4 * K - 1) // 32
+    codes = buf_row[4 * K + 1: 4 * K + 1 + fmax16 * 16] \
+        .reshape(fmax16, 16)[:F].astype(np.int8)
+    pidx = buf_row[4 * K + 1 + fmax16 * 16:] \
+        .reshape(fmax16, 16)[:F].astype(np.int8)
+    fs = st.formats[winner]
+    body = native.emit94_with_codes(ci, fs, codes, pidx, st.bands_keep)
+    if body is None:                   # no native toolchain: numpy emission
+        vals, bits = c94.emit94_np(ci, st, fs, codes.astype(np.int64),
+                                   pidx.astype(np.int64))
+        body = c94.pack_bits(vals, bits)
+    stream = st.n_frames.to_bytes(2, "big") + fs.header + body
+    assert len(stream) == int(nbytes[winner]), \
+        (len(stream), int(nbytes[winner]))
+    return bytes(stream)
 
 
 def encode_batch(ci_list, params, backend=None):
     """Encode a batch of coefficient arrays ([F_i, 255] int32) in one
     device program.  Returns list of stream bytes, byte-identical to
     core94.encode_stream94_np for every stream."""
+    import jax
     import jax.numpy as jnp
     B = len(ci_list)
     fmax = _bucket(max(ci.shape[0] for ci in ci_list))
     ci = np.zeros((B, fmax, 255), dtype=np.int32)
-    mask = np.zeros((B, fmax), dtype=bool)
+    nf = np.asarray([c.shape[0] for c in ci_list], np.int32)
     for i, c in enumerate(ci_list):
         ci[i, :c.shape[0]] = c
-        mask[i, :c.shape[0]] = True
 
-    setups, slots, arrs = setup_arrays(ci_list, params)
-    (w_lut, sf_lut, amin, amax, pip, dep, keep, thr, dlim, cape,
-     sil_max, wanted) = arrs
-    fn = _compiled(fmax, w_lut.shape[1])
-    import jax
+    slots = _select_formats(params)
+    setups, arrs = setup_compact(ci_list, params, slots)
+    fn = _compiled(fmax, slots, False)
     dev = jax.devices(backend)[0] if backend else None
     put = (lambda a: jax.device_put(a, dev)) if dev else jnp.asarray
-    nbytes, winner, codes, pidx = fn(
-        put(ci), put(mask), put(sil_max), put(keep), put(thr), put(dlim),
-        put(cape), put(w_lut), put(sf_lut), put(amin), put(amax), put(pip),
-        put(dep), put(wanted))
-    nbytes = np.asarray(nbytes)
-    winner = np.asarray(winner)
-    codes = np.asarray(codes).astype(np.int8)
-    pidx = np.asarray(pidx).astype(np.int8)
+    buf = np.asarray(fn(put(ci), put(nf), arrs["sil_max"], put(arrs["keep"]),
+                        put(arrs["thr"]), put(arrs["dlim"]),
+                        put(arrs["cape"]), put(arrs["hdr_scale"]),
+                        put(arrs["wanted"])))
+    return [_emit_from_packed(buf[i], ci_list[i], st, slots)
+            for i, st in enumerate(setups)]
 
-    from .. import native
-    out = []
-    for i, st in enumerate(setups):
-        k = int(winner[i])
-        fs = slots[i][k]
-        F = st.n_frames
-        body = native.emit94_with_codes(ci_list[i], fs, codes[i, :F],
-                                        pidx[i, :F], st.bands_keep)
-        if body is None:               # no native toolchain: numpy emission
-            vals, bits = c94.emit94_np(ci_list[i], st, fs,
-                                       codes[i, :F].astype(np.int64),
-                                       pidx[i, :F].astype(np.int64))
-            body = c94.pack_bits(vals, bits)
-        stream = (st.n_frames.to_bytes(2, "big") + fs.header + body)
-        assert len(stream) == int(nbytes[i, k]), \
-            (len(stream), int(nbytes[i, k]))
-        out.append(bytes(stream))
+
+def encode_jobs_pcm(jobs, params, backend=None, chunk=None):
+    """End-to-end on-chip batched encode from PCM (BASELINE #4 on the
+    TPU): per chunk of files the host canonicalizes PCM to int16, computes
+    its own coefficients (float64 BLAS — needed for emission) and the
+    per-stream setup; the device program re-derives bit-identical
+    coefficients from the raw PCM planes on the MXU (_analyze_device) and
+    runs the whole format search; one packed uint8 row per file returns.
+
+    Three-way overlap across chunks on a serial link: the uploader thread
+    pushes chunk k+1's PCM while the device searches chunk k and the main
+    thread preps chunk k+2 / emits finished streams (same software
+    pipeline as the cold catalog sweep, bench.bench_flat94_e2e).
+
+    jobs: list of (pcm, sample_rate).  Returns list of (stream, n_frames),
+    byte-identical to encode_pcm for every input."""
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+    from . import encoder as enc_mod
+
+    slots = _select_formats(params)
+    n = len(jobs)
+    if n == 0:
+        return []
+    chunk = chunk or min(16, n)
+    dev = jax.devices(backend)[0] if backend else jax.devices()[0]
+
+    def prep(lo, hi):
+        cis, fs, pcms = [], [], []
+        for pcm, rate in jobs[lo:hi]:
+            p16 = enc_mod.pcm_to_int16(pcm, rate)
+            frames = enc_mod.frames_from_pcm_raw(p16)
+            cis.append(enc_mod.analyze_frames_canonical(frames))
+            fs.append(frames.shape[0])
+            pcms.append(p16)
+        fmax = _bucket(max(fs))
+        B = hi - lo
+        pcm_pad = np.zeros((B, fmax * 240 + 240), np.int16)
+        for i, p16 in enumerate(pcms):
+            pcm_pad[i, :p16.size] = p16[:fmax * 240 + 240]
+        setups, arrs = setup_compact(cis, params, slots)
+        nf = np.asarray(fs, np.int32)
+        return (fmax, cis, setups, arrs,
+                dict(pcm=pcm_pad, nf=nf, keep=arrs["keep"],
+                     hdr_scale=arrs["hdr_scale"], wanted=arrs["wanted"],
+                     thr=arrs["thr"], dlim=arrs["dlim"], cape=arrs["cape"]))
+
+    def put(host):
+        return {k: jax.device_put(v, dev) for k, v in host.items()}
+
+    ranges = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+    ex_up = ThreadPoolExecutor(1)
+    ex_fetch = ThreadPoolExecutor(1)
+    out = [None] * n
+    pend = []                     # (fetch future, lo, cis, setups)
+
+    fmax0, cis0, setups0, arrs0, host0 = prep(*ranges[0])
+    up = ex_up.submit(put, host0)
+    meta = (fmax0, cis0, setups0, arrs0)
+    for idx, (lo, hi) in enumerate(ranges):
+        fmax, cis, setups, arrs = meta
+        d = up.result()
+        fn = _compiled(fmax, slots, True)
+        buf = fn(d["pcm"], d["nf"], arrs["sil_max"], d["keep"], d["thr"],
+                 d["dlim"], d["cape"], d["hdr_scale"], d["wanted"])
+        pend.append((ex_fetch.submit(np.asarray, buf), lo, cis, setups))
+        if idx + 1 < len(ranges):
+            fmax1, cis1, setups1, arrs1, host1 = prep(*ranges[idx + 1])
+            up = ex_up.submit(put, host1)
+            meta = (fmax1, cis1, setups1, arrs1)
+        # emit any chunk whose fetch already landed (keeps the main
+        # thread busy while the link and device work on later chunks)
+        while pend and pend[0][0].done():
+            fut, lo0, cis0_, setups0_ = pend.pop(0)
+            buf_np = fut.result()
+            for i, st in enumerate(setups0_):
+                out[lo0 + i] = (_emit_from_packed(buf_np[i], cis0_[i], st,
+                                                  slots), st.n_frames)
+    for fut, lo0, cis0_, setups0_ in pend:
+        buf_np = fut.result()
+        for i, st in enumerate(setups0_):
+            out[lo0 + i] = (_emit_from_packed(buf_np[i], cis0_[i], st,
+                                              slots), st.n_frames)
+    ex_up.shutdown()
+    ex_fetch.shutdown()
     return out

@@ -210,6 +210,71 @@ def _encoder_window():
 
 _WF = _encoder_window()
 
+# ----------------------------------------------------------------------
+# integer-canonical analysis (the production path): the analysis matrix —
+# with the complementary edge window folded in as diag(w)·F — is quantized
+# once to int16 at scale 2^21, and the coefficients are defined as
+#   ci = floor((frames_i16 @ Fq + 2^20) / 2^21)
+# over RAW int16 frames.  Every quantity is an exact integer (|x| ≤ 2^15,
+# |Fq| ≤ 2^14, 256-term dots ≤ 2^37 < 2^53), so the host (float64 BLAS)
+# and the device (int8-plane MXU matmuls, encoder/device94.analyze_device)
+# compute bit-identical ci — which is what lets the on-chip encoder emit
+# byte-identical streams from PCM without shipping coefficients over the
+# link.  Quantizing the matrix costs nothing audible (SNR unchanged to
+# 0.01 dB, stream sizes ±1 byte on the bench corpus).
+
+FQ_SHIFT = 21
+_FQ = None
+
+
+def forward_matrix_q():
+    """[256, 255] int16 window-folded analysis matrix at scale 2^FQ_SHIFT."""
+    global _FQ
+    if _FQ is None:
+        w = np.ones(256, dtype=np.float64)
+        w[:16] = _WF
+        w[240:] = _WF[::-1]
+        fw = w[:, None] * analysis.forward_matrix().astype(np.float64)
+        q = np.rint(fw * (1 << FQ_SHIFT))
+        assert np.abs(q).max() < (1 << 15), "analysis matrix overflows int16"
+        _FQ = q.astype(np.int16)
+    return _FQ
+
+
+def frames_from_pcm_raw(pcm_i16):
+    """Split int16 PCM into RAW [F, 256] int16 overlapped frames (stride
+    240, no windowing — the edge window lives inside forward_matrix_q)."""
+    pcm_i16 = np.asarray(pcm_i16, dtype=np.int16)
+    F = max(1, int(np.ceil(len(pcm_i16) / FRAME)))
+    padded = np.zeros(F * FRAME + 16, dtype=np.int16)
+    padded[:len(pcm_i16)] = pcm_i16
+    idx = np.arange(WIN)[None, :] + FRAME * np.arange(F)[:, None]
+    return padded[idx]
+
+
+def analyze_frames_canonical(frames_i16):
+    """Canonical int32 coefficients from raw int16 frames (host half).
+
+    float64 keeps every intermediate exact (see the module comment), and
+    division by 2^FQ_SHIFT is an exact scale, so np.floor here equals the
+    device's nested-shift integer evaluation bit-for-bit."""
+    p = frames_i16.astype(np.float64) @ forward_matrix_q().astype(np.float64)
+    ci = np.floor((p + (1 << (FQ_SHIFT - 1))) * (1.0 / (1 << FQ_SHIFT)))
+    return np.clip(ci, -(1 << 20), 1 << 20).astype(np.int32)
+
+
+def pcm_to_int16(pcm, sample_rate=RATE):
+    """Canonicalize any PCM input to int16 at the DCS rate (the integer
+    contract's entry point: resampler output and float inputs round once
+    here)."""
+    pcm = np.asarray(pcm)
+    if sample_rate != RATE:
+        from .resample import resample
+        pcm = resample(pcm.astype(np.float32), sample_rate, RATE)
+    if pcm.dtype == np.int16:
+        return pcm
+    return np.clip(np.rint(pcm), -32768, 32767).astype(np.int16)
+
 
 def frames_from_pcm(pcm):
     """Split PCM (float ±32768 domain) into [F, 256] overlapped frames
@@ -235,13 +300,7 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
     """
     if params is None:
         params = CompressionParams()
-    pcm = np.asarray(pcm)
-    if pcm.dtype == np.int16:
-        pcm = pcm.astype(np.float32)
-    if sample_rate != RATE:
-        from .resample import resample
-        pcm = resample(pcm, sample_rate, RATE)
-    frames = frames_from_pcm(pcm)
+    pcm_i16 = pcm_to_int16(pcm, sample_rate)
     # level convention matches the reference encoder: coefficients are the
     # plain analysis output (decoding at master volume 255 / mixing level
     # 0x64 then plays at ≈0.48× the source level, exactly as reference-
@@ -249,6 +308,7 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
     from ..refdec.decoder import OS93A, OS93B
     if os_version in (OS93A, OS93B):
         from . import encoder93
+        frames = frames_from_pcm(pcm_i16.astype(np.float32))
         coefs93 = analysis.analyze_frames93(frames)
         want_t = params.stream_format_type
         types = [0] if os_version == OS93A and want_t < 0 else \
@@ -265,6 +325,15 @@ def encode_pcm(pcm, params: CompressionParams = None, sample_rate=RATE,
                 "No available stream format types match the requested "
                 "encoding parameters")
         return best, frames.shape[0]
+    if params.analysis_transform == "pinv":
+        # production path: integer-canonical analysis (raw frames, window
+        # folded into the quantized matrix) — bit-identical on host/device
+        frames = frames_from_pcm_raw(pcm_i16)
+        ci = analyze_frames_canonical(frames)
+        return encode_frames(ci, params), frames.shape[0]
+    # comparison transforms (the reference's second DFT algorithm +
+    # cross-check, DCSEncoder.cpp:1019-1035) stay on the float path
+    frames = frames_from_pcm(pcm_i16.astype(np.float32))
     coefs = analysis.analyze_frames(frames,
                                     algorithm=params.analysis_transform)
     stream = encode_frames(coefs.astype(np.float32), params)
@@ -313,22 +382,7 @@ def encode_files_device(jobs, params: CompressionParams = None,
     from . import device94
     if params is None:
         params = CompressionParams()
-    cis = []
-    n_frames = []
-    for pcm, rate in jobs:
-        pcm = np.asarray(pcm)
-        if pcm.dtype == np.int16:
-            pcm = pcm.astype(np.float32)
-        if rate != RATE:
-            from .resample import resample
-            pcm = resample(pcm, rate, RATE)
-        frames = frames_from_pcm(pcm)
-        coefs = analysis.analyze_frames(frames)
-        cis.append(np.clip(np.rint(coefs), -(1 << 20), 1 << 20)
-                   .astype(np.int32))
-        n_frames.append(frames.shape[0])
-    streams = device94.encode_batch(cis, params, backend=backend)
-    return list(zip(streams, n_frames))
+    return device94.encode_jobs_pcm(jobs, params, backend=backend)
 
 
 def _decode_stream_pcm(stream, os_version):

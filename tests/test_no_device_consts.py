@@ -120,18 +120,36 @@ def test_encoder_device_no_device_consts():
 
     rng = np.random.default_rng(3)
     ci = rng.integers(-4000, 4000, (70, 255)).astype(np.int32)
-    setups, slots, arrs = device94.setup_arrays([ci], CompressionParams())
-    (w_lut, sf_lut, amin, amax, pip, dep, keep, thr, dlim, cape,
-     sil_max, wanted) = arrs
+    params = CompressionParams()
+    slots = device94._select_formats(params)
+    setups, arrs = device94.setup_compact([ci], params, slots)
     fmax = device94._bucket(ci.shape[0])
     cib = np.zeros((1, fmax, 255), np.int32)
     cib[0, :ci.shape[0]] = ci
-    mask = np.zeros((1, fmax), bool)
-    mask[0, :ci.shape[0]] = True
+    nf = np.asarray([ci.shape[0]], np.int32)
+    tabs = device94._static_format_tables(list(slots))
+
+    def run_ci(ci_, nf_, keep, thr, dlim, cape, hdr_scale, wanted):
+        mask = (jnp.arange(ci_.shape[1], dtype=jnp.int32)[None, :]
+                < nf_[:, None])
+        return jax.vmap(
+            lambda c, m, k, h, w: device94._encode_all(
+                c, m, int(arrs["sil_max"]), k, thr, dlim, cape, h, w, tabs)
+        )(ci_, mask, keep, hdr_scale, wanted)
+
     assert_no_device_consts(
-        jax.vmap(device94._encode_all), jnp.asarray(cib),
-        jnp.asarray(mask), jnp.asarray(sil_max), jnp.asarray(keep),
-        jnp.asarray(thr), jnp.asarray(dlim), jnp.asarray(cape),
-        jnp.asarray(w_lut), jnp.asarray(sf_lut), jnp.asarray(amin),
-        jnp.asarray(amax), jnp.asarray(pip), jnp.asarray(dep),
-        jnp.asarray(wanted))
+        run_ci, jnp.asarray(cib), jnp.asarray(nf), jnp.asarray(arrs["keep"]),
+        jnp.asarray(arrs["thr"]), jnp.asarray(arrs["dlim"]),
+        jnp.asarray(arrs["cape"]), jnp.asarray(arrs["hdr_scale"]),
+        jnp.asarray(arrs["wanted"]))
+
+    # the PCM-input program (analysis matmul on device) must trace clean too
+    pcm = np.zeros((1, fmax * 240 + 240), np.int16)
+    def run_pcm(pcm_, nf_, keep, thr, dlim, cape, hdr_scale, wanted):
+        ci_ = device94._analyze_device(pcm_, fmax)
+        return run_ci(ci_, nf_, keep, thr, dlim, cape, hdr_scale, wanted)
+    assert_no_device_consts(
+        run_pcm, jnp.asarray(pcm), jnp.asarray(nf),
+        jnp.asarray(arrs["keep"]), jnp.asarray(arrs["thr"]),
+        jnp.asarray(arrs["dlim"]), jnp.asarray(arrs["cape"]),
+        jnp.asarray(arrs["hdr_scale"]), jnp.asarray(arrs["wanted"]))
