@@ -26,6 +26,9 @@ Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
                   one jitted device program; only the winner's per-frame
                   decisions return and the host re-derives the emission.
                   Byte-identical to enc94; end-to-end timed.
+- enc93         — the 1993-family batched encoder: numpy analysis + the
+                  native full-stream search/emission, both Type 0 and
+                  Type 1 searched per file.
 
 ``vs_baseline`` compares the headline against the reference's native-
 decoder floor of ~20× realtime on one CPU core (BASELINE.md).
@@ -489,6 +492,26 @@ def bench_enc94(iters):
     return audio_s / best
 
 
+def bench_enc93(iters):
+    """1993-family batched encoder: numpy analysis + the native full-stream
+    search/emission (native/src/encoder93.cpp), searching both Type 0 and
+    Type 1 per file.  End-to-end from int16 PCM to stream bytes across the
+    worker pool (reference counterpart: DCSEncoder.cpp:2053-2476)."""
+    from dcsexplorer_tpu.encoder import encoder as enc
+    from dcsexplorer_tpu.refdec.decoder import OS93B
+
+    n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "16"))
+    jobs, audio_s = _enc_jobs(n_files)
+    best = None
+    for _ in range(max(2, iters // 2)):
+        t0 = time.perf_counter()
+        out = enc.encode_files(jobs, os_version=OS93B)
+        dt = time.perf_counter() - t0
+        assert all(nf > 0 for (_, nf) in out)
+        best = dt if best is None else min(best, dt)
+    return audio_s / best
+
+
 def bench_enc94_dev(iters):
     """On-chip batched encoder (BASELINE #4 on the TPU): the full format-
     candidate search — decision tables, wrap refinement, band-type scan,
@@ -550,6 +573,8 @@ def main():
         configs["enc94"] = bench_enc94(iters)
     if want("enc94_dev"):
         configs["enc94_dev"] = bench_enc94_dev(iters)
+    if want("enc93"):
+        configs["enc93"] = bench_enc93(iters)
 
     headline = configs.get("flat94_music",
                            configs.get("flat94",

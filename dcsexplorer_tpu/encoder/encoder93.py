@@ -63,6 +63,21 @@ def _huff93_codes():
 _HUFF93 = _huff93_codes()
 
 
+def _huff93_arrays():
+    """Flatten the (delta, invert) → (code, nbits) map into the native
+    body encoder's table layout: idx = invert*32 + delta + 16."""
+    cw = np.full(64, 0, dtype=np.int32)
+    nb = np.full(64, -1, dtype=np.int32)
+    for (delta, invert), (code, nbits) in _HUFF93.items():
+        idx = (32 if invert else 0) + delta + 16
+        cw[idx] = code
+        nb[idx] = nbits
+    return cw, nb
+
+
+_HUFF93_CW, _HUFF93_NB = _huff93_arrays()
+
+
 def _delta_band_code(vals, fmt_type):
     """Narrowest band code whose 2's-complement width fits all values."""
     hi = max(max(vals), -min(vals)) if len(vals) else 0
@@ -134,8 +149,22 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
         header[0] |= 0x80
 
     max_err = params.maximum_quantization_error * 32768.0
-    w = BitWriter()
-    frame_codes = [0] * 16            # frame-to-frame memory (Type 1)
+
+    from .. import native
+    bstart16 = np.zeros(16, dtype=np.int32)
+    bstart16[:len(band_start)] = band_start
+    counts16 = np.asarray(counts, dtype=np.int32)
+    scales16 = np.asarray(
+        [float(max(_scale_factor(c), 1)) for c in hdr_scale], np.float64)
+    body = native.encode93_stream(tx, fmt_type, bands_keep, counts16,
+                                  bstart16, scales16, max_err,
+                                  _HUFF93_CW, _HUFF93_NB)
+    if body is not None:
+        out = bytearray()
+        out += F.to_bytes(2, "big")
+        out += header
+        out += body
+        return bytes(out)
 
     # --- per-band precomputation, vectorized over frames: the quantized
     # samples and the subtype-0 candidate search.  Widths grow strictly
@@ -143,14 +172,17 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
     # simply the lowest passing code (else the first min-error code);
     # the Type-1 delta-range constraint only ever excludes code 15
     # (when the previous frame's code was 0 under the 'keep' family).
-    q0_l, best_full, best_no15, allzero = [], [], [], []
+    q0all = np.zeros((F, 256), dtype=np.int64)
+    best_full = np.zeros((16, F), dtype=np.int32)
+    best_no15 = np.zeros((16, F), dtype=np.int32)
+    allzero = np.zeros((16, F), dtype=np.uint8)
     for b in range(bands_keep):
         s, n = band_start[b], counts[b]
         seg = tx[:, s:s + n]
         scale = float(max(_scale_factor(hdr_scale[b]), 1))
         q0 = np.round(seg / scale).astype(np.int64)
-        q0_l.append(q0.tolist())
-        allzero.append((~np.any(q0, axis=1)).tolist())
+        q0all[:, s:s + n] = q0
+        allzero[b] = ~np.any(q0, axis=1)
         widths = np.arange(1, 16) + (1 if fmt_type == 0 else 0)
         ref = 1 << (widths - 1)
         mask = (1 << widths) - 1
@@ -164,8 +196,29 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
             first_ok = okc.argmax(axis=1)
             return np.where(any_ok, first_ok, errc.argmin(axis=1)) + 1
 
-        best_full.append(pick(ok, err).tolist())
-        best_no15.append(pick(ok[:, :14], err[:, :14]).tolist())
+        best_full[b] = pick(ok, err)
+        best_no15[b] = pick(ok[:, :14], err[:, :14])
+
+    body = _emit_body93(q0all, F, fmt_type, bands_keep, counts,
+                        band_start, best_full, best_no15, allzero)
+
+    out = bytearray()
+    out += F.to_bytes(2, "big")
+    out += header
+    out += body
+    return bytes(out)
+
+
+def _emit_body93(q0all, F, fmt_type, bands_keep, counts, band_start,
+                 best_full, best_no15, allzero):
+    """Python twin of the native body emitter (native/src/encoder93.cpp):
+    the sequential per-frame emission loop.  Byte-identical by contract
+    (fuzz-compared in tests/test_format93.py); used when the native
+    library is unavailable."""
+    w = BitWriter()
+    frame_codes = [0] * 16            # frame-to-frame memory (Type 1)
+    q0_l = [q0all[:, band_start[b]:band_start[b] + counts[b]].tolist()
+            for b in range(bands_keep)]
 
     for f in range(F):
         last_code = -1
@@ -273,9 +326,4 @@ def encode_stream93(coefs, fmt_type, params: CompressionParams,
             last_code = new_code
             last_sub = new_sub
 
-    body = w.bytes()
-    out = bytearray()
-    out += F.to_bytes(2, "big")
-    out += header
-    out += body
-    return bytes(out)
+    return w.bytes()

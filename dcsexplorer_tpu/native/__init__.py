@@ -29,7 +29,7 @@ def get_lib():
     srcs = [os.path.join(src_dir, f)
             for f in ("dcs_native.cpp", "flac.cpp", "mp3.cpp",
                       "vorbis.cpp", "adsp2105.cpp", "encoder94.cpp",
-                      "tracer.cpp")]
+                      "encoder93.cpp", "tracer.cpp")]
     hdr = os.path.join(_BUILD, "native_inc", "dcs_tables.h")
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -107,6 +107,15 @@ def get_lib():
                                      C.c_int] + [C.c_void_p] * 5
     lib.dcstr_read_host.restype = C.c_int
     lib.dcstr_read_host.argtypes = [C.c_void_p, C.c_void_p, C.c_int]
+    lib.dcs93_encode_body.restype = C.c_int64
+    lib.dcs93_encode_body.argtypes = (
+        [C.c_void_p, C.c_int, C.c_int, C.c_int]
+        + [C.c_void_p] * 7 + [C.c_void_p, C.c_int64])
+    lib.dcs93_encode_stream.restype = C.c_int64
+    lib.dcs93_encode_stream.argtypes = (
+        [C.c_void_p, C.c_int, C.c_int, C.c_int]
+        + [C.c_void_p] * 3 + [C.c_double]
+        + [C.c_void_p] * 2 + [C.c_void_p, C.c_int64])
     lib.dcs94_emit_with_codes.restype = C.c_int64
     lib.dcs94_emit_with_codes.argtypes = (
         [C.c_void_p, C.c_int, C.c_int]
@@ -180,6 +189,65 @@ def encode94_search(ci, formats, bands_keep, thr, sil_max):
     if n < 0:
         raise RuntimeError(f"native encode failed: {n}")
     return int(winner[0]), out[:n].tobytes()
+
+
+def encode93_body(q0all, fmt_type, bands_keep, counts, bstart,
+                  best_full, best_no15, allzero, huff_cw, huff_nb):
+    """Emit a 1993-format stream body with the native frame loop
+    (src/encoder93.cpp), the C++ twin of encoder93._emit_body93.
+
+    q0all [F, 256] int64 quantized samples (transmit layout); best_full /
+    best_no15 [16, F] int32; allzero [16, F] uint8.  Returns body bytes,
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q0all = np.ascontiguousarray(q0all, dtype=np.int64)
+    F = q0all.shape[0]
+    arrs = [np.ascontiguousarray(counts, dtype=np.int32),
+            np.ascontiguousarray(bstart, dtype=np.int32),
+            np.ascontiguousarray(best_full, dtype=np.int32),
+            np.ascontiguousarray(best_no15, dtype=np.int32),
+            np.ascontiguousarray(allzero, dtype=np.uint8),
+            np.ascontiguousarray(huff_cw, dtype=np.int32),
+            np.ascontiguousarray(huff_nb, dtype=np.int32)]
+    cap = F * 600 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    p = lambda a: a.ctypes.data_as(C.c_void_p)
+    n = lib.dcs93_encode_body(p(q0all), F, int(fmt_type), int(bands_keep),
+                              *[p(a) for a in arrs], p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native 93 encode failed: {n}")
+    return out[:n].tobytes()
+
+
+def encode93_stream(tx, fmt_type, bands_keep, counts, bstart, scales,
+                    max_err, huff_cw, huff_nb):
+    """Full-stream native 1993 encode (src/encoder93.cpp): quantization,
+    the subtype-0 width search, and the body emission in one call —
+    byte-identical to the numpy-precompute + encode93_body path.
+
+    tx [F, 256] float64 transmit-position coefficients; scales [16]
+    float64.  Returns body bytes, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tx = np.ascontiguousarray(tx, dtype=np.float64)
+    F = tx.shape[0]
+    arrs = [np.ascontiguousarray(counts, dtype=np.int32),
+            np.ascontiguousarray(bstart, dtype=np.int32),
+            np.ascontiguousarray(scales, dtype=np.float64)]
+    tail = [np.ascontiguousarray(huff_cw, dtype=np.int32),
+            np.ascontiguousarray(huff_nb, dtype=np.int32)]
+    cap = F * 600 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    p = lambda a: a.ctypes.data_as(C.c_void_p)
+    n = lib.dcs93_encode_stream(
+        p(tx), F, int(fmt_type), int(bands_keep), *[p(a) for a in arrs],
+        float(max_err), *[p(a) for a in tail], p(out), cap)
+    if n < 0:
+        raise RuntimeError(f"native 93 encode failed: {n}")
+    return out[:n].tobytes()
 
 
 def emit94_with_codes(ci, fs, codes, pidx, bands_keep):

@@ -59,3 +59,26 @@ def test_encoder_beats_reference_per_core():
     assert dt_us <= dt_ref, (
         f"framework {dt_us * 1e3:.1f} ms vs reference {dt_ref * 1e3:.1f} ms "
         f"on the same clip/core")
+
+
+def test_encoder93_beats_reference_per_core():
+    """1993-family sibling: the framework's 93 encoder (numpy analysis +
+    the native full-stream search/emission, native/src/encoder93.cpp,
+    searching BOTH Type 0 and Type 1) vs the reference encoder's 93 path
+    (DCSEncoder.cpp:2053-2476) on the same clip and core."""
+    from dcsexplorer_tpu.refdec.decoder import OS93B
+
+    pcm = _clip()
+    oracle.encode(pcm, fmt_type=0, fmt_subtype=-1)
+    enc.encode_pcm(pcm, os_version=OS93B)
+
+    dt_ref, (s_ref, _) = _best_of(
+        lambda: oracle.encode(pcm, fmt_type=0, fmt_subtype=-1))
+    dt_us, (s_us, _) = _best_of(
+        lambda: enc.encode_pcm(pcm, os_version=OS93B))
+
+    assert len(s_us) > 0 and len(s_ref) > 0
+    # in practice ~4x faster; a straight comparison has ample noise margin
+    assert dt_us <= dt_ref, (
+        f"framework 93 {dt_us * 1e3:.1f} ms vs reference "
+        f"{dt_ref * 1e3:.1f} ms on the same clip/core")

@@ -344,3 +344,80 @@ def test_93a_type1_device_pipeline_parity(seed, selector):
     assert mism.size == 0, (
         f"93a-T1 device (sel={selector}): {mism.size} mismatches, first at "
         f"{mism[0]} (frame {mism[0] // 240})")
+
+
+# ---------------------------------------------------------------------------
+# native 93 encoder twins: the full-stream C++ path (dcs93_encode_stream),
+# the numpy-precompute + C++ body path (dcs93_encode_body), and the pure-
+# Python emission loop must produce byte-identical streams
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("fmt_type", [0, 1])
+def test_encoder93_native_twins_byte_identical(seed, fmt_type):
+    from dcsexplorer_tpu import native
+    from dcsexplorer_tpu.encoder import encoder93
+    from dcsexplorer_tpu.encoder.encoder import CompressionParams
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    params = CompressionParams()
+    F = int(rng.integers(2, 50))
+    coefs = (rng.standard_normal((F, 254))
+             * float(rng.choice([10, 200, 4000, 30000])))
+
+    s_full = encoder93.encode_stream93(coefs, fmt_type, params)
+
+    # numpy precompute + native body emitter
+    real_stream = native.encode93_stream
+    native.encode93_stream = lambda *a, **k: None
+    real_emit = encoder93._emit_body93
+    calls = {}
+
+    def via_native_body(q0all, F_, ft, bk, counts, band_start,
+                        best_full, best_no15, allzero):
+        bstart16 = np.zeros(16, dtype=np.int32)
+        bstart16[:len(band_start)] = band_start
+        calls["hit"] = True
+        return native.encode93_body(
+            q0all, ft, bk, np.asarray(counts, dtype=np.int32), bstart16,
+            best_full, best_no15, allzero,
+            encoder93._HUFF93_CW, encoder93._HUFF93_NB)
+
+    encoder93._emit_body93 = via_native_body
+    try:
+        s_body = encoder93.encode_stream93(coefs, fmt_type, params)
+    finally:
+        encoder93._emit_body93 = real_emit
+    assert calls.get("hit")
+
+    # pure-Python emission loop
+    try:
+        s_py = encoder93.encode_stream93(coefs, fmt_type, params)
+    finally:
+        native.encode93_stream = real_stream
+
+    assert s_full == s_body == s_py
+
+
+@pytest.mark.parametrize("fmt_type", [0, 1])
+def test_encoder93_native_roundtrips(fmt_type):
+    """The native-encoded stream decodes bit-exactly (framework decoder vs
+    reference oracle) and yields real audio — the encode path changed
+    engines, not the format."""
+    from dcsexplorer_tpu.encoder import encoder as enc
+    from dcsexplorer_tpu.encoder.encoder import CompressionParams
+
+    _require_oracle()
+    rate = 31250
+    t = np.arange(rate // 2) / rate
+    x = 0.5 * np.sin(2 * np.pi * 330 * t) * np.hanning(t.size)
+    pcm = (x * 32767).astype(np.int16)
+    params = CompressionParams()
+    params.stream_format_type = fmt_type
+    stream, nf = enc.encode_pcm(pcm, params, os_version=OS93B)
+    assert nf > 0
+
+    golden = _compare(stream, oracle.OS93B, OS93B, nf,
+                      f"native-encoded 93b type {fmt_type}")
+    assert np.abs(golden.astype(np.int32)).max() > 100
