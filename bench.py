@@ -474,22 +474,26 @@ def _enc_jobs(n_files, seconds=2.0):
     return jobs, n_files * seconds
 
 
-def bench_enc94(iters):
+def bench_enc94(iters, collect=None):
     """Host-native batched encoder (BASELINE #4): numpy/BLAS analysis +
     the integer-canonical C++ format search per file.  End-to-end from
-    int16 PCM to stream bytes, ×realtime across the worker pool."""
+    int16 PCM to stream bytes, ×realtime across the worker pool.
+
+    Reports the MEAN like the decode benches (x_best rides in stats)."""
     from dcsexplorer_tpu.encoder import encoder as enc
 
     n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "16"))
     jobs, audio_s = _enc_jobs(n_files)
-    best = None
+    enc.encode_files(jobs)                # warm (table builds, lib load)
+    times = []
     for _ in range(max(2, iters // 2)):
         t0 = time.perf_counter()
         out = enc.encode_files(jobs)
-        dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
         assert all(nf > 0 for (_, nf) in out)
-        best = dt if best is None else min(best, dt)
-    return audio_s / best
+    if collect is not None:
+        collect["enc94"] = _stats(times, audio_s)
+    return audio_s / (sum(times) / len(times))
 
 
 def bench_enc93(iters):
@@ -502,14 +506,14 @@ def bench_enc93(iters):
 
     n_files = int(os.environ.get("DCS_BENCH_ENC_FILES", "16"))
     jobs, audio_s = _enc_jobs(n_files)
-    best = None
+    enc.encode_files(jobs, os_version=OS93B)      # warm
+    times = []
     for _ in range(max(2, iters // 2)):
         t0 = time.perf_counter()
         out = enc.encode_files(jobs, os_version=OS93B)
-        dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
         assert all(nf > 0 for (_, nf) in out)
-        best = dt if best is None else min(best, dt)
-    return audio_s / best
+    return audio_s / (sum(times) / len(times))
 
 
 def bench_enc94_dev(iters):
@@ -524,14 +528,13 @@ def bench_enc94_dev(iters):
     n_files = int(os.environ.get("DCS_BENCH_ENC_FILES_DEV", "64"))
     jobs, audio_s = _enc_jobs(n_files)
     enc.encode_files_device(jobs)         # compile, untimed
-    best = None
+    times = []
     for _ in range(max(2, iters // 2)):
         t0 = time.perf_counter()
         out = enc.encode_files_device(jobs)
-        dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
         assert all(nf > 0 for (_, nf) in out)
-        best = dt if best is None else min(best, dt)
-    return audio_s / best
+    return audio_s / (sum(times) / len(times))
 
 
 def main():
@@ -570,7 +573,7 @@ def main():
     if want("session6"):
         configs["session6"] = bench_session6(iters, collect=stats)
     if want("enc94"):
-        configs["enc94"] = bench_enc94(iters)
+        configs["enc94"] = bench_enc94(iters, collect=stats)
     if want("enc94_dev"):
         configs["enc94_dev"] = bench_enc94_dev(iters)
     if want("enc93"):

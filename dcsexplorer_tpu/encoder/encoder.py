@@ -107,6 +107,11 @@ class BitWriter:
         self.nbits = 0
 
     def write(self, val, n):
+        # int() guards against numpy scalar poisoning: under NEP 50
+        # (numpy >= 2), `python_int | np.int32` stays int32, so a numpy val
+        # would silently turn the accumulator into a fixed-width integer
+        # that overflows on long (30-bit) Huffman codewords.
+        val, n = int(val), int(n)
         acc = (self.acc << n) | (val & ((1 << n) - 1))
         nbits = self.nbits + n
         chunks = self.chunks

@@ -21,7 +21,10 @@ namespace {
 struct BitW {
     uint8_t *out;
     int64_t cap, n;
-    uint32_t acc;
+    // 64-bit accumulator: the Type-1 band-code Huffman tree has codewords up
+    // to 30 bits, and up to 7 residual bits can be pending, so a 32-bit
+    // accumulator overflows on `acc << bw` (37 bits needed).
+    uint64_t acc;
     int nbits;
     bool ok;
 
@@ -29,14 +32,15 @@ struct BitW {
         : out(o), cap(c), n(0), acc(0), nbits(0), ok(true) {}
 
     inline void write(uint32_t val, int bw) {
-        acc = (acc << bw) | (val & ((bw >= 32 ? 0xFFFFFFFFu : (1u << bw) - 1)));
+        const uint32_t m = (bw >= 32) ? 0xFFFFFFFFu : ((1u << bw) - 1u);
+        acc = (acc << bw) | (uint64_t)(val & m);
         nbits += bw;
         while (nbits >= 8) {
             nbits -= 8;
             if (n >= cap) { ok = false; return; }
             out[n++] = (uint8_t)((acc >> nbits) & 0xFF);
         }
-        acc &= (nbits >= 32) ? 0xFFFFFFFFu : ((1u << nbits) - 1);
+        acc &= ((uint64_t)1 << nbits) - 1;
     }
 
     inline int64_t finish() {
@@ -51,6 +55,20 @@ struct BitW {
 
 static inline int64_t w16s(int64_t x) {
     return ((x + 0x8000) & 0xFFFF) - 0x8000;
+}
+
+// Explicit round-half-to-even, matching numpy's np.round/np.rint semantics
+// unconditionally — std::nearbyint follows the ambient FP rounding mode, so a
+// library calling fesetround() would silently break the byte-identity
+// contract with the numpy twin.  Exact for |x| < 2^52 (always true here:
+// coefficients are 16-bit-scale, scales >= 1).
+static inline int64_t round_half_even_i64(double x) {
+    const double fl = std::floor(x);
+    const double diff = x - fl;
+    if (diff > 0.5) return (int64_t)fl + 1;
+    if (diff < 0.5) return (int64_t)fl;
+    const int64_t i = (int64_t)fl;
+    return (i & 1) ? i + 1 : i;
 }
 
 // narrowest band code whose 2's-complement width fits all values
@@ -222,8 +240,9 @@ extern "C" int64_t dcs93_encode_body(
 
 // Full-stream fast path: quantization + the subtype-0 width search + the
 // emission loop in one call.  Replicates the numpy precompute of
-// encoder/encoder93.py bit-for-bit: q0 = rint(seg/scale) (round-half-even,
-// the default IEEE mode), and the per-width error sum accumulates doubles
+// encoder/encoder93.py bit-for-bit: q0 = round-half-even(seg/scale)
+// (explicit, independent of the FP environment — see round_half_even_i64),
+// and the per-width error sum accumulates doubles
 // sequentially in sample order — the same order numpy's add.reduce uses
 // over the middle axis of the [F, n, widths] error tensor.  Decision
 // identity (first passing width, else first arg-min) is fuzz-checked
@@ -251,7 +270,7 @@ extern "C" int64_t dcs93_encode_stream(
             int64_t *q0 = q0all.data() + (int64_t)f * 256 + s;
             bool az = true;
             for (int i = 0; i < n; i++) {
-                q0[i] = (int64_t)std::nearbyint(seg[i] / scale);
+                q0[i] = round_half_even_i64(seg[i] / scale);
                 if (q0[i] != 0) az = false;
             }
             allzero[(size_t)b * F + f] = az ? 1 : 0;

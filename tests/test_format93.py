@@ -368,9 +368,10 @@ def test_encoder93_native_twins_byte_identical(seed, fmt_type):
 
     s_full = encoder93.encode_stream93(coefs, fmt_type, params)
 
-    # numpy precompute + native body emitter
+    # numpy precompute + native body emitter, then the pure-Python emission
+    # loop — one try/finally around the whole patched region so BOTH
+    # monkeypatches are restored even if the first leg raises
     real_stream = native.encode93_stream
-    native.encode93_stream = lambda *a, **k: None
     real_emit = encoder93._emit_body93
     calls = {}
 
@@ -384,20 +385,90 @@ def test_encoder93_native_twins_byte_identical(seed, fmt_type):
             best_full, best_no15, allzero,
             encoder93._HUFF93_CW, encoder93._HUFF93_NB)
 
-    encoder93._emit_body93 = via_native_body
     try:
+        native.encode93_stream = lambda *a, **k: None
+        encoder93._emit_body93 = via_native_body
         s_body = encoder93.encode_stream93(coefs, fmt_type, params)
-    finally:
+        assert calls.get("hit")
         encoder93._emit_body93 = real_emit
-    assert calls.get("hit")
-
-    # pure-Python emission loop
-    try:
         s_py = encoder93.encode_stream93(coefs, fmt_type, params)
     finally:
+        encoder93._emit_body93 = real_emit
         native.encode93_stream = real_stream
 
     assert s_full == s_body == s_py
+
+
+@pytest.mark.parametrize("k", list(range(1, 9)))
+def test_encoder93_long_huffman_codewords(k):
+    """Regression for the BitW 32-bit accumulator overflow: force the 30-bit
+    (delta=+13, invert) Type-1 band-code codeword at 8 different bit
+    alignments and require the native body emitter to stay byte-identical
+    to the Python twin.  Deterministic construction: frame 0 pins band 0 at
+    code k (the alignment knob: 15*k sample bits shift everything after)
+    and band 1 at code 1; frame 1's band 1 then drops to subtype 1 with
+    code 14, a +13 delta with subtype inversion."""
+    from dcsexplorer_tpu import native
+    from dcsexplorer_tpu.encoder import encoder93
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    F, bands_keep = 2, 2
+    counts = np.asarray(encoder93.SAMPLES93_T1, dtype=np.int32)  # [15,16,..]
+    bstart = np.zeros(16, dtype=np.int32)
+    bstart[1:] = np.cumsum(counts)[:15]
+
+    q0all = np.zeros((F, 256), dtype=np.int64)
+    # band 0, both frames: huge alternating values => code1 >= 15, so the
+    # explicit subtype-0 code (k) always wins
+    alt = np.where(np.arange(15) % 2 == 0, 9000, -9000)
+    q0all[0, 0:15] = alt
+    q0all[1, 0:15] = alt
+    # band 1 frame 0: huge values again; best code 1 wins (delta +1, keep)
+    q0all[0, 15:31] = np.where(np.arange(16) % 2 == 0, 9000, -9000)
+    # band 1 frame 1: deltas of +-5000 from the entering prv_sample
+    # (the last reconstructed band-0 value: +9000 clamped to 2^(k-1)-1)
+    # => code1 = 14 < code0 = 15 => subtype 1, new_code 14, delta +13, invert
+    a = (1 << (k - 1)) - 1
+    q0all[1, 15:31] = np.where(np.arange(16) % 2 == 0, a + 5000, a)
+
+    best_full = np.zeros((16, F), dtype=np.int32)
+    best_no15 = np.zeros((16, F), dtype=np.int32)
+    best_full[0, :] = best_no15[0, :] = k
+    best_full[1, 0] = best_no15[1, 0] = 1
+    best_full[1, 1] = best_no15[1, 1] = 15
+    allzero = np.zeros((16, F), dtype=np.uint8)
+
+    # Python twin, with the Huffman lookups recorded to prove the long
+    # codeword is actually exercised
+    class RecordingHuff(dict):
+        def __init__(self, base):
+            super().__init__(base)
+            self.used = []
+
+        def __getitem__(self, key):
+            self.used.append(key)
+            return super().__getitem__(key)
+
+    rec = RecordingHuff(encoder93._HUFF93)
+    real = encoder93._HUFF93
+    try:
+        encoder93._HUFF93 = rec
+        body_py = encoder93._emit_body93(
+            q0all, F, 1, bands_keep, counts.tolist(), bstart.tolist(),
+            best_full, best_no15, allzero)
+    finally:
+        encoder93._HUFF93 = real
+    assert (13, True) in rec.used, f"construction broke: used={rec.used}"
+    assert max(real[key][1] for key in rec.used) == 30
+
+    body_native = native.encode93_body(
+        q0all, 1, bands_keep, counts, bstart, best_full, best_no15,
+        allzero, encoder93._HUFF93_CW, encoder93._HUFF93_NB)
+    assert body_native == body_py, (
+        f"native/python divergence at alignment k={k}: "
+        f"{body_native.hex()} vs {body_py.hex()}")
 
 
 @pytest.mark.parametrize("fmt_type", [0, 1])
