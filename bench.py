@@ -12,8 +12,15 @@ Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
 - flat94_e2e    — the COLD end-to-end sweep: per-entry native indexing +
                   native VM trace + pack + upload + device sweep + PCM
                   checksum, nothing cached between entries/iterations.
-- dec93b        — the 1993-format device kernel batched over music streams.
-- dec93a_t1     — the OS93a Type-1 (Judge Dredd) device kernel batched.
+- catalog_e2e   — the COLD end-to-end sweep over a MIXED all-family
+                  catalog (94 + 93b + 93a-T1), each family's device
+                  decode overlapping the next family's upload — the
+                  test-all.bat integration shape; per-family host-stage
+                  breakdown in stats.
+- dec93b        — the 1993-format device kernel batched over music
+                  streams (DEVICE STAGE ONLY — cold e2e is catalog_e2e).
+- dec93a_t1     — the OS93a Type-1 (Judge Dredd) device kernel batched
+                  (DEVICE STAGE ONLY).
 - session6      — a batch of DISTINCT six-voice sessions (staggered
                   starts, per-session volumes) through the ROM-session
                   pipeline, timed END-TO-END: native runtime VM trace +
@@ -290,6 +297,121 @@ def bench_flat94_e2e(iters, collect=None):
     return audio_samples / 31250.0 / (sum(times) / len(times))
 
 
+def bench_catalog_e2e(iters, collect=None):
+    """End-to-end COLD sweep over a MIXED all-family catalog — the
+    test-all.bat integration shape (one run covering every format family,
+    /root/reference/DCSDecoder/Tests/test-all.bat:27-76).  Per iteration,
+    per family: native stream indexing + native VM trace + compact pack,
+    nothing cached between entries or iterations.  The three families
+    pipeline over the serial host↔device link: while family k's arrays
+    upload (uploader thread) the main thread packs family k+1, and each
+    family DISPATCHES as soon as its upload lands — so its device decode
+    overlaps the next family's upload (the wire, not the compute, is the
+    binding term of a cold mixed sweep; see catalogsweep's wire notes).
+    Three checksum fetches at the end sync everything.
+
+    Per-family host-stage ms, frames, and audio seconds ride in
+    collect["catalog_e2e"]["families"]."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+    from dcsexplorer_tpu.models import catalogsweep, flatsweep
+    from dcsexplorer_tpu.models.catalogsweep import run_flat93_pcm
+
+    s94 = _read(["music_a.dcs94", "music_b.dcs94"]
+                + [f"{n}.dcs94" for n in LEGACY])
+    s93 = _read(["music_a.dcs93b", "music_b.dcs93a"])
+    s93a = _read(["dense_t1.dcs93a1", "dense_t1b.dcs93a1"])
+    # the corpus skews 94/95-family like the reference's title list
+    # (test-all.bat: most of the 29 titles are 1994+ hardware)
+    cat94 = s94 * int(os.environ.get("DCS_BENCH_CAT94_COPIES", "24"))
+    cat93 = s93 * int(os.environ.get("DCS_BENCH_CAT93_COPIES", "12"))
+    cat93a = s93a * int(os.environ.get("DCS_BENCH_CAT93A_COPIES", "12"))
+
+    def sweep94(a, n_steps):
+        pcm = flatsweep.flat_pipeline_packed(
+            a["pool_u8"], a["sid"], a["start_bit"], a["bt_u8"], a["mix_u16"],
+            a["vol_u8"], a["hdr_tab"], a["fmt_tab"], a["sub_tab"], n_steps)
+        return jnp.sum(pcm & 0xFF, dtype=jnp.int32)
+
+    f94 = jax.jit(sweep94, static_argnums=(1,))
+    f93 = jax.jit(lambda a, nw: jnp.sum(
+        run_flat93_pcm(a, False, nw) & 0xFF, dtype=jnp.int32),
+        static_argnums=(1,))
+    f93a = jax.jit(lambda a, nw: jnp.sum(
+        run_flat93_pcm(a, True, nw) & 0xFF, dtype=jnp.int32),
+        static_argnums=(1,))
+    fns = {"94": f94, "93b": f93, "93a1": f93a}
+    ex = ThreadPoolExecutor(1)
+
+    def pack94():
+        sw = flatsweep.FlatSweep(cat94)
+        sw.pack()
+        ca = sw.compact_host_arrays()
+        return ca, ca.pop("n_steps"), sw.audio_samples, sw.n_frames_total
+
+    def pack93():
+        sw = catalogsweep.Flat93Sweep(cat93, t1=False)
+        return (sw.compact_host_arrays(), sw.nwords, sw.audio_samples,
+                sw.n_frames_total)
+
+    def pack93a():
+        sw = catalogsweep.Flat93Sweep(cat93a, t1=True)
+        return (sw.compact_host_arrays(), sw.nwords, sw.audio_samples,
+                sw.n_frames_total)
+
+    def upload(ca):
+        return {k: jax.device_put(v) for k, v in ca.items()}
+
+    fam_stats = {k: dict(host_ms=[], frames=0, audio_s=0.0)
+                 for k in ("94", "93b", "93a1")}
+
+    def cold():
+        """One cold iteration: index+trace+pack each family (main thread)
+        while the previous family's arrays upload (uploader thread) and
+        the one before THAT decodes on device (async dispatch)."""
+        audio = 0
+        pend = []
+        up = None
+        for name, pk in (("94", pack94), ("93b", pack93),
+                         ("93a1", pack93a)):
+            t0 = time.perf_counter()
+            ca, meta, a, nf = pk()
+            fam_stats[name]["host_ms"].append(
+                (time.perf_counter() - t0) * 1e3)
+            fam_stats[name]["frames"] = nf
+            fam_stats[name]["audio_s"] = round(a / 31250.0, 2)
+            if up is not None:
+                pname, pmeta, fut = up
+                pend.append(fns[pname](fut.result(), pmeta))  # async
+            up = (name, meta, ex.submit(upload, ca))
+            audio += a
+        pname, pmeta, fut = up
+        pend.append(fns[pname](fut.result(), pmeta))
+        chk = sum(int(p) for p in pend)
+        return chk, audio
+
+    chk, audio_samples = cold()               # compile, untimed
+    times = []
+    for _ in range(max(2, iters)):
+        for s in fam_stats.values():
+            s["host_ms"].clear()
+        t0 = time.perf_counter()
+        c2, _ = cold()
+        times.append(time.perf_counter() - t0)
+        assert c2 == chk
+    ex.shutdown()
+    if collect is not None:
+        st = _stats(times, audio_samples / 31250.0)
+        st["families"] = {
+            k: dict(host_ms=round(sum(v["host_ms"]) / len(v["host_ms"]), 1),
+                    frames=v["frames"], audio_s=v["audio_s"])
+            for k, v in fam_stats.items()}
+        collect["catalog_e2e"] = st
+    return audio_samples / 31250.0 / (sum(times) / len(times))
+
+
 def bench_session6(iters, collect=None):
     """A batch of B six-voice sessions through the ROM session pipeline,
     timed END-TO-END: the native runtime VM (vm/native_tracer.py — track
@@ -560,13 +682,19 @@ def main():
         configs["flat94"] = bench_flat94(legacy, copies, iters)
     if want("flat94_e2e"):
         configs["flat94_e2e"] = bench_flat94_e2e(iters, collect=stats)
+    if want("catalog_e2e"):
+        configs["catalog_e2e"] = bench_catalog_e2e(iters, collect=stats)
     if want("dec93b"):
-        # heterogeneous batch: two distinct music streams, one per 1993
-        # sub-family (OS93b Type 0/1, OS93a Type 0 — same decompressor)
+        # DEVICE STAGE ONLY (prescan + VM trace prebuilt outside the
+        # timer) — the 1993 families' cold end-to-end number is
+        # catalog_e2e.  Heterogeneous batch: two distinct music streams,
+        # one per 1993 sub-family (OS93b Type 0/1, OS93a Type 0 — same
+        # decompressor).
         configs["dec93b"] = _bench_93_family(
             _read(["music_a.dcs93b", "music_b.dcs93a"]), False,
             max(2, copies // 2), iters)
     if want("dec93a_t1"):
+        # DEVICE STAGE ONLY — see dec93b.
         configs["dec93a_t1"] = _bench_93_family(
             _read(["dense_t1.dcs93a1", "dense_t1b.dcs93a1"]), True,
             max(2, copies // 2), iters)

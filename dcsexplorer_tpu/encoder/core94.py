@@ -10,9 +10,12 @@ on any backend, at any batch size.  (Reference anchor for the decision
 semantics: DCSEncoder.cpp:743-956 band cutoff / bit allocation,
 :1502-1621 FindBestBandEncoding, :784-853 format search.)
 
-The one non-integer seam is the analysis matmul itself (float32); its
-output is rounded once to the canonical int32 coefficient grid and
-everything downstream is exact.
+Since round 4 the analysis itself is integer-canonical too: the window-
+folded analysis matrix is quantized once to int16 and the coefficients are
+DEFINED as an exact integer expression over raw int16 frames
+(encoder.analyze_frames_canonical — float64 BLAS on host, int8-plane MXU
+matmuls on device, bit-identical), so there is no non-integer seam left
+anywhere in the encode path.
 
 Code selection: the band-type code is the smallest candidate whose width
 represents the band's quantized range without wrap (see

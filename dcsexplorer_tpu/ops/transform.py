@@ -562,6 +562,27 @@ def transform93_raw(fb, vol_shift):
     return (s16(re[:, _BR93_HALF]) >> vs) & M16
 
 
+def overlap_resolve93_flat(raw, stream_start):
+    """Flat-axis overlap resolve for the 93 transform's natural-order
+    output: like overlap_resolve93, but the carried tail ZEROES at each
+    stream's first frame, so frames of many concatenated streams resolve
+    in one pass (the 93 counterpart of overlap_resolve_planar).
+
+    raw: [F, 256]; stream_start: [F] bool.  Returns pcm [F, 240] u16
+    storage — identical to resolving each stream separately with
+    overlap_resolve93(overlap0=0).
+    """
+    heads = raw[:, :16]
+    tails = raw[:, 240:]
+    z = jnp.zeros((1, 16), jnp.int32)
+    carried = jnp.where(stream_start[:, None], 0,
+                        jnp.concatenate([z, tails[:-1]], axis=0))
+    blended = overlap_mix(heads, carried,
+                          jnp.asarray(_OVL)[None, :],
+                          jnp.asarray(_OVL[::-1].copy())[None, :])
+    return jnp.concatenate([blended, raw[:, 16:240]], axis=1)
+
+
 def overlap_resolve93(raw, overlap0):
     """Overlap-add resolve for the 93 transform's natural-order output.
 
