@@ -116,6 +116,11 @@ def get_lib():
                                      C.c_void_p, C.c_int, C.c_void_p,
                                      C.c_void_p, C.c_int, C.c_int,
                                      C.c_int] + [C.c_void_p] * 5
+    lib.dcstr_trace_segs_batch.restype = C.c_int
+    lib.dcstr_trace_segs_batch.argtypes = (
+        [C.c_void_p, C.c_int, C.c_int] + [C.c_void_p] * 3
+        + [C.c_void_p, C.c_void_p, C.c_int, C.c_int, C.c_int]
+        + [C.c_void_p] * 5)
     lib.dcstr_read_host.restype = C.c_int
     lib.dcstr_read_host.argtypes = [C.c_void_p, C.c_void_p, C.c_int]
     lib.dcs93_encode_body.restype = C.c_int64

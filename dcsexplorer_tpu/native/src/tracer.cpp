@@ -850,6 +850,38 @@ int dcstr_trace_segs(void* h, int n_frames, const int32_t* ev_frame,
     return 0;
 }
 
+// Batched segment trace: S independent sessions through ONE runtime
+// handle (soft_boot between sessions — the chip set is shared, so the
+// caller keeps a single handle instead of S), each with its own event
+// slice (ev_off: [S+1] prefix offsets into ev_frame/ev_byte) and its own
+// slices of the batch output arrays (f0/base/mixv [S, n_ch, max_segs],
+// slope [S, n_ch, max_segs], vshift [S, n_frames]).  One C call per
+// BATCH replaces S Python-loop calls — the serving path's host stage is
+// pure C end-to-end (bench.bench_session6.prepare).  Returns 0, or the
+// first session's error code (same codes as dcstr_trace_segs).
+int dcstr_trace_segs_batch(void* h, int n_sessions, int n_frames,
+                           const int32_t* ev_off, const int32_t* ev_frame,
+                           const uint8_t* ev_byte,
+                           const int64_t* addr_tab, const int32_t* off_tab,
+                           int n_tab, int n_ch, int max_segs,
+                           uint16_t* out_f0, uint16_t* out_base,
+                           uint8_t* out_slope, uint16_t* out_mixv,
+                           uint8_t* out_vshift) {
+    const size_t seg = static_cast<size_t>(n_ch) * max_segs;
+    for (int b = 0; b < n_sessions; ++b) {
+        static_cast<Tracer*>(h)->soft_boot();
+        const int e0 = ev_off[b], e1 = ev_off[b + 1];
+        const int rc = dcstr_trace_segs(
+            h, n_frames, ev_frame + e0, ev_byte + e0, e1 - e0,
+            addr_tab, off_tab, n_tab, n_ch, max_segs,
+            out_f0 + seg * b, out_base + seg * b, out_slope + seg * b,
+            out_mixv + seg * b,
+            out_vshift + static_cast<size_t>(n_frames) * b);
+        if (rc != 0) return rc;
+    }
+    return 0;
+}
+
 int dcstr_read_host(void* h, uint8_t* out, int cap) {
     Tracer* t = static_cast<Tracer*>(h);
     int n = static_cast<int>(t->host_rx.size());

@@ -175,6 +175,49 @@ class NativeControlTracer:
             raise rd.ResetError(f"native trace fault ({rc})")
         return True
 
+    def trace_segs_batch(self, n_frames, addr_tab, off_tab, out_f0,
+                         out_base, out_slope, out_mixv, out_vol,
+                         events_list):
+        """Trace a BATCH of independent sessions in ONE C call
+        (dcstr_trace_segs_batch): session b is soft-booted and traced on
+        this handle, its segments written straight into row b of the
+        batch arrays.  The serving path's whole host stage is one
+        C call per batch — no per-session Python loop, no per-session
+        ctypes marshalling (bench.bench_session6).
+
+        out_f0/out_base/out_mixv: C-contiguous uint16 [S, n_ch, E];
+        out_slope: uint8 [S, n_ch, E]; out_vol: uint8 [S, n_frames].
+        events_list: one {frame: [byte, ...]} dict per session.
+        Returns True, or False if any lane overflows E segments.
+        """
+        S, n_ch, E = out_f0.shape
+        assert len(events_list) == S and out_vol.shape == (S, n_frames)
+        ev_frames, ev_bytes, ev_off = [], [], [0]
+        for events in events_list:
+            for f in sorted((events or {}).keys()):
+                for b in events[f]:
+                    ev_frames.append(f)
+                    ev_bytes.append(b & 0xFF)
+            ev_off.append(len(ev_frames))
+        evf = np.asarray(ev_frames, dtype=np.int32)
+        evb = np.asarray(ev_bytes, dtype=np.uint8)
+        evo = np.asarray(ev_off, dtype=np.int32)
+        p = lambda a: a.ctypes.data_as(C.c_void_p)
+        rc = self._lib.dcstr_trace_segs_batch(
+            self._h, S, n_frames, p(evo), p(evf), p(evb),
+            p(addr_tab), p(off_tab), len(addr_tab), n_ch, E,
+            p(out_f0), p(out_base), p(out_slope), p(out_mixv), p(out_vol))
+        if rc == -4:
+            return False
+        if rc == -5:
+            raise ValueError("a channel >= n_ch went live during the "
+                             "segment trace — widen the lane count")
+        if rc == -3:
+            raise KeyError("traced stream address missing from the bank")
+        if rc != 0:
+            raise rd.ResetError(f"native trace fault ({rc})")
+        return True
+
     def read_host_bytes(self, cap=1 << 16):
         out = np.zeros(cap, dtype=np.uint8)
         n = self._lib.dcstr_read_host(

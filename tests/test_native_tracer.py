@@ -119,6 +119,47 @@ def test_trace_rows_matches_two_pass(seed):
     assert t2.read_host_bytes() == t1.read_host_bytes()
 
 
+@pytest.mark.parametrize("seed", [31, 32])
+def test_trace_segs_batch_matches_loop(seed):
+    """The batched serving call (dcstr_trace_segs_batch: S sessions
+    soft-booted and traced through ONE handle in one C call) must equal
+    a per-session trace_segs loop, table-for-table, including the
+    fallback return on segment overflow."""
+    rs = _rom()
+    bank = romplay.build_rom_bank(rs)
+    addr_tab, off_tab = stream_row_table(rs, bank)
+    rng = np.random.default_rng(seed)
+    S, CH, E, T = 12, 8, 48, 300
+    events_list = [_fuzz_events(rng, T, [1, 2, 4, 5, 7]) for _ in range(S)]
+
+    t1 = NativeControlTracer(rs, default_volume=0x80)
+    f0a = np.zeros((S, CH, E), np.uint16)
+    ba = np.zeros((S, CH, E), np.uint16)
+    sa = np.zeros((S, CH, E), np.uint8)
+    ma = np.zeros((S, CH, E), np.uint16)
+    va = np.zeros((S, T), np.uint8)
+    ok_loop = []
+    for b in range(S):
+        t1.soft_boot()
+        ok_loop.append(t1.trace_segs(T, addr_tab, off_tab, f0a[b], ba[b],
+                                     sa[b], ma[b], va[b], events_list[b]))
+
+    t2 = NativeControlTracer(rs, default_volume=0x80)
+    f0b = np.zeros((S, CH, E), np.uint16)
+    bb = np.zeros((S, CH, E), np.uint16)
+    sb = np.zeros((S, CH, E), np.uint8)
+    mb = np.zeros((S, CH, E), np.uint16)
+    vb = np.zeros((S, T), np.uint8)
+    ok = t2.trace_segs_batch(T, addr_tab, off_tab, f0b, bb, sb, mb, vb,
+                             events_list)
+    assert ok == all(ok_loop)
+    if ok:
+        assert (f0a == f0b).all() and (ba == bb).all()
+        assert (sa == sb).all() and (ma == mb).all() and (va == vb).all()
+    t1.close()
+    t2.close()
+
+
 def test_native_tracer_speed():
     """The native trace must be ≥ 50× the Python tracer's rate (it is
     ~300×; this guards the serving-path regression)."""
