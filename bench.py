@@ -32,7 +32,12 @@ Configs (BASELINE.md #2/#3 realizations, all full device pipelines):
 - enc94_dev     — the same work on the chip: the whole format search as
                   one jitted device program; only the winner's per-frame
                   decisions return and the host re-derives the emission.
-                  Byte-identical to enc94; end-to-end timed.
+                  Byte-identical to enc94; end-to-end timed.  WIRE-BOUND
+                  on this tunnel (PCM ingest 62.5 kB/s-audio against a
+                  drifting 20-60 MB/s link): expect ~0.9x of enc94 here
+                  and a clear win only at co-located-host link rates —
+                  measured breakdown in ARCHITECTURE.md "Encoder cost
+                  accounting".
 - enc93         — the 1993-family batched encoder: numpy analysis + the
                   native full-stream search/emission, both Type 0 and
                   Type 1 searched per file.

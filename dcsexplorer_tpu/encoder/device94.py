@@ -439,7 +439,12 @@ def _compiled(fmax, slots, from_pcm):
 
 
 def _bucket(f):
-    return max(64, -(-f // 64) * 64)
+    """Frame-count bucket for compiled-program reuse.  16-frame
+    granularity: the PCM upload is the binding term of the on-chip
+    encode on a slow link (see encode_jobs_pcm), and 64-frame buckets
+    padded typical 261-frame files to 320 — 23% dead wire bytes; 16
+    cuts that to ~5% for ~4× the worst-case compile-variant count."""
+    return max(16, -(-f // 16) * 16)
 
 
 def setup_compact(ci_list, params, slots):
@@ -534,10 +539,14 @@ def encode_jobs_pcm(jobs, params, backend=None, chunk=None):
     coefficients from the raw PCM planes on the MXU (_analyze_device) and
     runs the whole format search; one packed uint8 row per file returns.
 
-    Three-way overlap across chunks on a serial link: the uploader thread
-    pushes chunk k+1's PCM while the device searches chunk k and the main
-    thread preps chunk k+2 / emits finished streams (same software
-    pipeline as the cold catalog sweep, bench.bench_flat94_e2e).
+    Four-stage overlap across chunks on a serial link: the uploader
+    thread pushes chunk k+1's PCM AND dispatches it (keeping the ~30 ms
+    dispatch RTT off the main thread), the device searches chunk k, a
+    fetch thread drains finished results, and the main thread preps
+    chunk k+2 / emits finished streams (same software pipeline as the
+    serving bench, bench.bench_session6).  Even so, the configuration
+    is WIRE-BOUND on this tunnel — see ARCHITECTURE.md "Encoder cost
+    accounting" for the measured ceiling.
 
     jobs: list of (pcm, sample_rate).  Returns list of (stream, n_frames),
     byte-identical to encode_pcm for every input."""
@@ -572,42 +581,51 @@ def encode_jobs_pcm(jobs, params, backend=None, chunk=None):
                      hdr_scale=arrs["hdr_scale"], wanted=arrs["wanted"],
                      thr=arrs["thr"], dlim=arrs["dlim"], cape=arrs["cape"]))
 
-    def put(host):
-        return {k: jax.device_put(v, dev) for k, v in host.items()}
+    def up_and_dispatch(host, fmax, arrs):
+        """Upload thread: push the chunk over the link AND dispatch it.
+        On the live tunnel a dispatch costs a ~30 ms round trip; paying
+        it here (instead of on the main thread) keeps the main thread
+        free for the next chunk's analysis/setup and the finished
+        chunks' emission."""
+        d = {k: jax.device_put(v, dev) for k, v in host.items()}
+        fn = _compiled(fmax, slots, True)
+        return fn(d["pcm"], d["nf"], arrs["sil_max"], d["keep"], d["thr"],
+                  d["dlim"], d["cape"], d["hdr_scale"], d["wanted"])
 
     ranges = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
     ex_up = ThreadPoolExecutor(1)
     ex_fetch = ThreadPoolExecutor(1)
     out = [None] * n
-    pend = []                     # (fetch future, lo, cis, setups)
+    disp_q = []                   # (dispatch future, lo, cis, setups)
+    fetch_q = []                  # (fetch future, lo, cis, setups)
+
+    def emit_ready(block=False):
+        """Chain completed dispatches into the fetch thread, and emit
+        chunks whose fetch has landed (main-thread work, overlapped
+        with the link and device)."""
+        while disp_q and (block or disp_q[0][0].done()):
+            fb, lo0, cis0, setups0 = disp_q.pop(0)
+            fetch_q.append((ex_fetch.submit(np.asarray, fb.result()),
+                            lo0, cis0, setups0))
+        while fetch_q and (block or fetch_q[0][0].done()):
+            fut, lo0, cis0, setups0 = fetch_q.pop(0)
+            buf_np = fut.result()
+            for i, st in enumerate(setups0):
+                out[lo0 + i] = (_emit_from_packed(buf_np[i], cis0[i], st,
+                                                  slots), st.n_frames)
 
     fmax0, cis0, setups0, arrs0, host0 = prep(*ranges[0])
-    up = ex_up.submit(put, host0)
-    meta = (fmax0, cis0, setups0, arrs0)
+    fut_buf = ex_up.submit(up_and_dispatch, host0, fmax0, arrs0)
+    meta = (cis0, setups0)
     for idx, (lo, hi) in enumerate(ranges):
-        fmax, cis, setups, arrs = meta
-        d = up.result()
-        fn = _compiled(fmax, slots, True)
-        buf = fn(d["pcm"], d["nf"], arrs["sil_max"], d["keep"], d["thr"],
-                 d["dlim"], d["cape"], d["hdr_scale"], d["wanted"])
-        pend.append((ex_fetch.submit(np.asarray, buf), lo, cis, setups))
+        cis, setups = meta
+        disp_q.append((fut_buf, lo, cis, setups))
         if idx + 1 < len(ranges):
             fmax1, cis1, setups1, arrs1, host1 = prep(*ranges[idx + 1])
-            up = ex_up.submit(put, host1)
-            meta = (fmax1, cis1, setups1, arrs1)
-        # emit any chunk whose fetch already landed (keeps the main
-        # thread busy while the link and device work on later chunks)
-        while pend and pend[0][0].done():
-            fut, lo0, cis0_, setups0_ = pend.pop(0)
-            buf_np = fut.result()
-            for i, st in enumerate(setups0_):
-                out[lo0 + i] = (_emit_from_packed(buf_np[i], cis0_[i], st,
-                                                  slots), st.n_frames)
-    for fut, lo0, cis0_, setups0_ in pend:
-        buf_np = fut.result()
-        for i, st in enumerate(setups0_):
-            out[lo0 + i] = (_emit_from_packed(buf_np[i], cis0_[i], st,
-                                              slots), st.n_frames)
+            fut_buf = ex_up.submit(up_and_dispatch, host1, fmax1, arrs1)
+            meta = (cis1, setups1)
+        emit_ready()
+    emit_ready(block=True)
     ex_up.shutdown()
     ex_fetch.shutdown()
     return out
