@@ -152,6 +152,158 @@ def reconstruct_from_segments(f0, base, slope, mixv, n_frames):
     return rows, pick(mixv)
 
 
+class SessionServer:
+    """Batched, pipelined multi-session serving — the library form of the
+    "many cabinets, one chip" shape the serving bench measures
+    (bench.bench_session6; no reference counterpart — DCSExplorer plays
+    one session at a time, DCSDecoder.cpp:1579-1690 is single-stream).
+
+    One server owns a device-resident stream bank, a native runtime-VM
+    handle, the compiled decode program, and the serving pipeline's
+    worker threads: a prep thread traces each batch's sessions in ONE
+    GIL-releasing C call (dcstr_trace_segs_batch) and packs the
+    segment-compressed control wire; an upload thread pushes the wire
+    buffer AND dispatches (keeping the per-dispatch round trip off the
+    consumer thread); results are fetched as batches complete, in order.
+
+    events format: one dict per session, {frame_index: [port bytes...]}.
+    Each yielded batch is int16 PCM [n_sessions, n_frames*240] (or
+    ``reduce_fn``'s fetched result — pass a device-side reducer to avoid
+    shipping full PCM over a slow host link).
+
+        with SessionServer(rom_set, n_sessions=64, n_frames=500) as srv:
+            for pcm in srv.serve(batches_of_event_dicts):
+                ...
+    """
+
+    def __init__(self, rom_set, n_sessions, n_frames, n_ch=8, seg_e=32,
+                 depth=3, default_volume=0x67, bank=None, reduce_fn=None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..vm import native_tracer as nt
+        assert nt.available(), "SessionServer needs the native runtime"
+        self.rom_set = rom_set
+        self.n_sessions = n_sessions
+        self.n_frames = n_frames
+        self.n_ch = n_ch
+        self.seg_e = seg_e
+        self.depth = max(1, depth)
+        self.reduce_fn = reduce_fn
+        self.bank = bank if bank is not None else build_rom_bank(rom_set)
+        assert self.bank.total_rows() < (1 << 16), \
+            "u16 row ids need a bank under 64Ki rows"
+        self._addr_tab, self._off_tab = nt.stream_row_table(rom_set,
+                                                            self.bank)
+        self._tracer = nt.NativeControlTracer(
+            rom_set, default_volume=default_volume)
+        self._jit_cache = {}
+        self._ex_prep = ThreadPoolExecutor(1)
+        self._ex_updisp = ThreadPoolExecutor(1)
+
+    # -- pipeline stages ------------------------------------------------
+    def _prepare(self, events_list):
+        """Prep thread: batch VM trace (one C call) + wire pack.  On a
+        segment-cap overflow the batch retries with a doubled table
+        (recompile per width, cached)."""
+        assert len(events_list) == self.n_sessions, \
+            (len(events_list), self.n_sessions)
+        S, C, T = self.n_sessions, self.n_ch, self.n_frames
+        while True:
+            E = self.seg_e
+            f0 = np.full((S, C, E), 0xFFFF, np.uint16)
+            base = np.zeros((S, C, E), np.uint16)
+            slope = np.zeros((S, C, E), np.uint8)
+            mixv = np.zeros((S, C, E), np.uint16)
+            vol = np.zeros((S, T), np.uint8)
+            ok = self._tracer.trace_segs_batch(
+                T, self._addr_tab, self._off_tab, f0, base, slope, mixv,
+                vol, events_list)
+            if ok:
+                wire = pack_controls_wire(
+                    dict(f0=f0, base=base, slope=slope, mixv=mixv), vol)
+                return wire, E
+            if E >= 255:
+                raise ValueError("a session lane exceeds 255 segments")
+            self.seg_e = min(255, E * 2)
+
+    def _program(self, E):
+        import jax
+        import jax.numpy as jnp
+        if E not in self._jit_cache:
+            dec = self.bank.decode_fn()
+            S, C, T = self.n_sessions, self.n_ch, self.n_frames
+            red = self.reduce_fn
+
+            def fn(ba, buf):
+                f0, base, slope, mixv, vol = unpack_controls_wire(
+                    buf, S, T, C, E)
+                rows, mix = reconstruct_from_segments(f0, base, slope,
+                                                      mixv, T)
+                v = vol.astype(jnp.int32)
+                pcm, _ = jax.vmap(lambda a, b, c: dec(ba, a, b, c))(
+                    rows, mix, v)
+                pcm = pcm.reshape(S, -1)          # [S, n_frames*240] words
+                return red(pcm) if red is not None else pcm
+
+            self._jit_cache[E] = jax.jit(fn)
+        return self._jit_cache[E]
+
+    def _updisp(self, wire, E):
+        import jax
+        buf = jax.device_put(wire)
+        return self._program(E)(self.bank.bank_args(), buf)
+
+    # -- public surface -------------------------------------------------
+    def serve(self, batches):
+        """Serve an iterable of batches (each: n_sessions event dicts),
+        yielding each batch's fetched result in order.  The pipeline
+        stays ``depth`` batches deep while the consumer iterates."""
+        from collections import deque
+        it = iter(batches)
+        prep_q, disp_q = deque(), deque()
+
+        def refill():
+            while len(prep_q) + len(disp_q) < self.depth:
+                try:
+                    ev = next(it)
+                except StopIteration:
+                    return
+                prep_q.append(self._ex_prep.submit(self._prepare, ev))
+
+        refill()
+        while prep_q or disp_q:
+            if prep_q:
+                wire, E = prep_q.popleft().result()
+                disp_q.append(self._ex_updisp.submit(self._updisp, wire,
+                                                     E))
+                refill()
+            if disp_q and (len(disp_q) >= self.depth or not prep_q):
+                out = np.asarray(disp_q.popleft().result())
+                if self.reduce_fn is None:
+                    out = ((out.reshape(self.n_sessions, -1) & 0xFFFF)
+                           ^ 0x8000).astype(np.int32) - 0x8000
+                    out = out.astype(np.int16)
+                yield out
+
+    def serve_one(self, events_list):
+        """One batch, synchronously."""
+        return next(self.serve([events_list]))
+
+    def close(self):
+        self._ex_prep.shutdown()
+        self._ex_updisp.shutdown()
+        if self._tracer is not None:
+            self._tracer.close()
+            self._tracer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def play_session(rom_set, events, n_frames, bank=None, default_volume=0x67):
     """Run a command-driven session on device.
 

@@ -101,6 +101,7 @@ def get_lib():
     lib.dcstr_set_catalog.argtypes = [C.c_void_p, C.c_int64, C.c_int64,
                                       C.c_int, C.c_int]
     lib.dcstr_soft_boot.argtypes = [C.c_void_p]
+    lib.dcstr_full_reset.argtypes = [C.c_void_p]
     lib.dcstr_load_stream.argtypes = [C.c_void_p, C.c_int, C.c_uint,
                                       C.c_int, C.c_int]
     lib.dcstr_write_port.argtypes = [C.c_void_p, C.c_int]

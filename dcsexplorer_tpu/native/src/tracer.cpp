@@ -252,6 +252,28 @@ struct Tracer {
         state = ST_RUNNING;
     }
 
+    // Fresh-session reset: what a NEW decoder object starts with
+    // (soft_boot alone is the reference's soft reboot and deliberately
+    // keeps tracks/streams/mixers running, DCSDecoder.cpp semantics —
+    // batch serving needs independent sessions, so session b must not
+    // inherit session b-1's playing state).
+    void full_reset() {
+        for (int i = 0; i < NCH; ++i) ch[i] = Chan{};
+        channel_mask = 0;
+        std::memset(variables, 0, sizeof variables);
+        command_queue.clear();
+        port_queue.clear();
+        last_port_byte = 0;
+        data_port_word = 0;
+        data_port_ext = 0;
+        n_data_port_bytes = 0;
+        data_port_timeout = 0;
+        host_rx.clear();
+        reset_error = false;
+        state = ST_HARD_BOOT;
+        soft_boot();
+    }
+
     // ---- mixing helpers ---------------------------------------------
     void reset_mixing_levels(int chno) {
         for (int i = 0; i < NCH; ++i) ch[i].mixer[chno].reset();
@@ -653,6 +675,11 @@ void dcstr_set_catalog(void* h, long long track_index,
 
 void dcstr_soft_boot(void* h) { static_cast<Tracer*>(h)->soft_boot(); }
 
+// Fresh-session reset (what a newly constructed decoder starts with);
+// soft_boot alone is the reference's soft REBOOT and keeps tracks,
+// streams, and mixer fades running across it.
+void dcstr_full_reset(void* h) { static_cast<Tracer*>(h)->full_reset(); }
+
 // Standalone stream playback (refdec load_audio_stream public API): play
 // the stream at `addr` on `chno` with the given mixing level — the
 // flat-sweep and EncoderTester shapes, no ROM tracks involved.
@@ -850,9 +877,10 @@ int dcstr_trace_segs(void* h, int n_frames, const int32_t* ev_frame,
     return 0;
 }
 
-// Batched segment trace: S independent sessions through ONE runtime
-// handle (soft_boot between sessions — the chip set is shared, so the
-// caller keeps a single handle instead of S), each with its own event
+// Batched segment trace: S INDEPENDENT sessions through ONE runtime
+// handle (full_reset between sessions — fresh-decoder state, not the
+// reference's state-preserving soft reboot; the chip set is shared, so
+// the caller keeps a single handle instead of S), each with its own event
 // slice (ev_off: [S+1] prefix offsets into ev_frame/ev_byte) and its own
 // slices of the batch output arrays (f0/base/mixv [S, n_ch, max_segs],
 // slope [S, n_ch, max_segs], vshift [S, n_frames]).  One C call per
@@ -869,7 +897,7 @@ int dcstr_trace_segs_batch(void* h, int n_sessions, int n_frames,
                            uint8_t* out_vshift) {
     const size_t seg = static_cast<size_t>(n_ch) * max_segs;
     for (int b = 0; b < n_sessions; ++b) {
-        static_cast<Tracer*>(h)->soft_boot();
+        static_cast<Tracer*>(h)->full_reset();
         const int e0 = ev_off[b], e1 = ev_off[b + 1];
         const int rc = dcstr_trace_segs(
             h, n_frames, ev_frame + e0, ev_byte + e0, e1 - e0,

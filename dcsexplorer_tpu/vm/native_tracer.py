@@ -76,6 +76,12 @@ class NativeControlTracer:
     def soft_boot(self):
         self._lib.dcstr_soft_boot(self._h)
 
+    def full_reset(self):
+        """Fresh-session reset (a new decoder object's state).  The
+        reference's soft_boot is a soft REBOOT that keeps tracks/streams/
+        mixer fades running; independent sessions need this instead."""
+        self._lib.dcstr_full_reset(self._h)
+
     def load_audio_stream(self, chno, addr, mixing_level=0x64,
                           loop_count=1):
         """Standalone stream playback (refdec load_audio_stream): play the
@@ -179,8 +185,9 @@ class NativeControlTracer:
                          out_base, out_slope, out_mixv, out_vol,
                          events_list):
         """Trace a BATCH of independent sessions in ONE C call
-        (dcstr_trace_segs_batch): session b is soft-booted and traced on
-        this handle, its segments written straight into row b of the
+        (dcstr_trace_segs_batch): session b is FULLY RESET (fresh-decoder
+        state, not the reference's state-preserving soft reboot) and
+        traced on this handle, its segments written straight into row b of the
         batch arrays.  The serving path's whole host stage is one
         C call per batch — no per-session Python loop, no per-session
         ctypes marshalling (bench.bench_session6).

@@ -121,10 +121,13 @@ def test_trace_rows_matches_two_pass(seed):
 
 @pytest.mark.parametrize("seed", [31, 32])
 def test_trace_segs_batch_matches_loop(seed):
-    """The batched serving call (dcstr_trace_segs_batch: S sessions
-    soft-booted and traced through ONE handle in one C call) must equal
-    a per-session trace_segs loop, table-for-table, including the
-    fallback return on segment overflow."""
+    """The batched serving call (dcstr_trace_segs_batch: S INDEPENDENT
+    sessions traced through ONE handle in one C call, full-reset between
+    them) must equal a per-session trace_segs loop over FRESH handles,
+    table-for-table, including the fallback return on segment overflow.
+    Fresh handles are the point: soft_boot alone keeps tracks/streams/
+    fades running (the reference's soft-reboot semantics), and the batch
+    call must not leak session b-1's playing state into session b."""
     rs = _rom()
     bank = romplay.build_rom_bank(rs)
     addr_tab, off_tab = stream_row_table(rs, bank)
@@ -132,7 +135,6 @@ def test_trace_segs_batch_matches_loop(seed):
     S, CH, E, T = 12, 8, 48, 300
     events_list = [_fuzz_events(rng, T, [1, 2, 4, 5, 7]) for _ in range(S)]
 
-    t1 = NativeControlTracer(rs, default_volume=0x80)
     f0a = np.zeros((S, CH, E), np.uint16)
     ba = np.zeros((S, CH, E), np.uint16)
     sa = np.zeros((S, CH, E), np.uint8)
@@ -140,9 +142,11 @@ def test_trace_segs_batch_matches_loop(seed):
     va = np.zeros((S, T), np.uint8)
     ok_loop = []
     for b in range(S):
+        t1 = NativeControlTracer(rs, default_volume=0x80)
         t1.soft_boot()
         ok_loop.append(t1.trace_segs(T, addr_tab, off_tab, f0a[b], ba[b],
                                      sa[b], ma[b], va[b], events_list[b]))
+        t1.close()
 
     t2 = NativeControlTracer(rs, default_volume=0x80)
     f0b = np.zeros((S, CH, E), np.uint16)
@@ -156,7 +160,6 @@ def test_trace_segs_batch_matches_loop(seed):
     if ok:
         assert (f0a == f0b).all() and (ba == bb).all()
         assert (sa == sb).all() and (ma == mb).all() and (va == vb).all()
-    t1.close()
     t2.close()
 
 
