@@ -167,9 +167,13 @@ class SessionServer:
     consumer thread); results are fetched as batches complete, in order.
 
     events format: one dict per session, {frame_index: [port bytes...]}.
-    Each yielded batch is int16 PCM [n_sessions, n_frames*240] (or
-    ``reduce_fn``'s fetched result — pass a device-side reducer to avoid
-    shipping full PCM over a slow host link).
+    Sessions are INDEPENDENT — each is traced from fresh-decoder state
+    (native full_reset; the reference's soft_boot is a soft reboot that
+    keeps tracks playing).  Each yielded batch is int16 PCM
+    [n_sessions, n_frames*240], or ``reduce_fn``'s fetched result —
+    pass a device-side reducer to avoid shipping full PCM over a slow
+    host link; it receives the raw decoder words [S, n_frames*240]
+    (u16 domain: ``((w & 0xFFFF) ^ 0x8000) - 0x8000`` is int16 PCM).
 
         with SessionServer(rom_set, n_sessions=64, n_frames=500) as srv:
             for pcm in srv.serve(batches_of_event_dicts):
